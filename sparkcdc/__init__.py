@@ -1,0 +1,29 @@
+"""sparkcdc — a PySpark-native CDC / incremental-ingest engine.
+
+A from-scratch engine with the capabilities of the reference connector
+(treasure-data/embulk-input-jira, read-only at /root/reference), generalized
+per the north rule into a change-log tailer that applies keyed
+insert/update/delete events via partitioned MERGE/upsert into an
+Iceberg-style snapshot table ("icebox") of pre-tokenized training sequences:
+
+    (doc_id string, tokens array<int>, n_tok int, source string)
+
+Everything is DataFrame-native: Catalyst expressions for casts / flatten /
+dedup / merge, vectorized Arrow/pandas UDFs for the normalization pass —
+no per-row Python anywhere.
+
+Module map (see SURVEY.md §7):
+    config        job config + validation      (ref JiraInputPlugin.java:57-100)
+    changelog     synthetic CDC log + scans    (ref JiraClient.java:67-89 pagination)
+    flatten       nested-JSON flatten walker   (ref Issue.java:59-142)
+    coerce        try-cast matrix, strftime    (ref util/JiraUtil.java:102-264)
+    schema_infer  guess + schema evolution     (ref JiraInputPlugin.java:170-220)
+    dedup         salted LWW dedup             (north-rule T2)
+    icebox        snapshot-commit table        (north-rule T3; Iceberg-shaped)
+    lineage       checkpoint fence             (north-rule T7)
+    engine        micro-batch apply loop       (ref JiraInputPlugin.java:139-168)
+    metrics       structured metrics
+    oracle        single-threaded pandas replay oracle (test-only)
+"""
+
+__version__ = "0.1.0"

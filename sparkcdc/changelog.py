@@ -1,0 +1,123 @@
+"""Synthetic CDC change-log: deterministic generation + micro-batch scans.
+
+The reference pulls pages of ≤50 issues by offset
+(/root/reference/src/main/java/org/embulk/input/jira/JiraInputPlugin.java:154-163,
+client/JiraClient.java:67-89). Here the "API" is an ordered change log with
+LSN-style ``seq``; a micro-batch is the slice ``(lo, hi]`` — the Spark-native
+replacement for offset pagination (SURVEY.md §2.1 S1-S4).
+
+Generation is fully distributed and purely columnar: every field is a pure
+function of (seed, seq) via xxhash64, so any slice of the log is
+reproducible on any executor without coordination — this is what lets the
+same generator describe a 10^10-event log (plan-only; nothing materialized
+until an action) and a 10^4-event unit-test log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Log schema v1 (FIXTURES.md §2); v2 adds `lang` and widens n_tok to int64.
+LOG_COLUMNS_V1 = ["seq", "op", "doc_id", "tokens", "n_tok", "source", "ts"]
+LOG_COLUMNS_V2 = LOG_COLUMNS_V1 + ["lang"]
+
+VOCAB_SIZE = 50_000
+_BASE_TS = "2024-01-01 00:00:00"
+
+
+def _h(seed: int, tag: str, *cols) -> F.Column:
+    """Deterministic per-row hash stream (non-negative)."""
+    return F.abs(F.xxhash64(F.lit(int(seed)), F.lit(tag), *cols))
+
+
+def generate_changelog(
+    spark: SparkSession,
+    n_events: int,
+    n_docs: int,
+    seed: int = 42,
+    *,
+    hot_key_pct: int = 0,
+    delete_pct: int = 10,
+    dup_pct: int = 0,
+    shuffled: bool = False,
+    schema_version: int = 1,
+    max_tokens: int = 24,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic change log of ``n_events`` over ``n_docs`` keys.
+
+    hot_key_pct  : % of events hitting the single hot key DOC-0 (skew tests).
+    dup_pct      : % of events re-delivered verbatim (at-least-once delivery,
+                   the analog of the reference's retry re-fetch,
+                   client/JiraClient.java:94-147).
+    shuffled     : randomize physical row order (out-of-order delivery).
+    """
+    base = spark.range(0, n_events, 1, num_partitions) if num_partitions else spark.range(n_events)
+    seq = (F.col("id") + 1).alias("seq")
+    df = base.select(seq)
+
+    hot = _h(seed, "hot", F.col("seq")) % 100 < F.lit(hot_key_pct)
+    doc_idx = F.when(hot, F.lit(0)).otherwise(_h(seed, "doc", F.col("seq")) % F.lit(n_docs))
+    op_roll = _h(seed, "op", F.col("seq")) % 100
+    op = (
+        F.when(op_roll < F.lit(delete_pct), F.lit("delete"))
+        .when(op_roll < F.lit(delete_pct + 30), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    n_tok = (_h(seed, "ntok", F.col("seq")) % F.lit(max_tokens) + 1).cast("int")
+    df = df.select(
+        "seq",
+        op.alias("op"),
+        F.concat(F.lit("DOC-"), F.lpad(doc_idx.cast("string"), 8, "0")).alias("doc_id"),
+        n_tok.alias("n_tok"),
+    )
+    tokens = F.transform(
+        F.sequence(F.lit(0), F.col("n_tok") - 1),
+        lambda i: (_h(seed, "tok", F.col("seq"), i) % VOCAB_SIZE).cast("int"),
+    )
+    df = df.select(
+        "seq",
+        "op",
+        "doc_id",
+        F.when(F.col("op") == "delete", F.lit(None)).otherwise(tokens).alias("tokens"),
+        F.when(F.col("op") == "delete", F.lit(None)).otherwise(F.col("n_tok")).alias("n_tok"),
+        F.concat(F.lit("src"), (_h(seed, "src", F.col("seq")) % 5).cast("string")).alias("source"),
+        (F.to_timestamp(F.lit(_BASE_TS)) + F.make_interval(secs=F.col("seq").cast("double"))).alias("ts"),
+    )
+    if schema_version >= 2:
+        df = df.select(
+            "seq", "op", "doc_id", "tokens",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "source", "ts",
+            F.element_at(F.array(F.lit("en"), F.lit("es"), F.lit("de"), F.lit("fr"), F.lit("zh")),
+                         (_h(seed, "lang", F.col("seq")) % 5 + 1).cast("int")).alias("lang"),
+        )
+    if dup_pct:
+        dups = df.where(_h(seed, "dup", F.col("seq")) % 100 < F.lit(dup_pct))
+        df = df.unionByName(dups)
+    if shuffled:
+        df = df.repartition(df.rdd.getNumPartitions() or 8, _h(seed, "shuf", F.col("seq")))
+    return df
+
+
+def scan_slice(log: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Micro-batch scan of the half-open LSN range (lo, hi].
+
+    The engine analog of one `searchIssues(task, startAt, maxResults)` page
+    (client/JiraClient.java:67-84) — but evaluated as a pushed-down parquet /
+    plan predicate, not a blocking round trip.
+    """
+    return log.where((F.col("seq") > F.lit(lo)) & (F.col("seq") <= F.lit(hi)))
+
+
+def max_seq(log: DataFrame) -> int:
+    """Count-probe analog (client/JiraClient.java:86-89): cheap max-LSN probe
+    used for batch planning instead of a total-count request."""
+    row = log.agg(F.max("seq").alias("m")).collect()[0]
+    return int(row["m"]) if row["m"] is not None else 0
+
+
+def write_log_parquet(log: DataFrame, path: str, *, partitions: int | None = None) -> None:
+    """Materialize a generated log as the on-disk WAL the engine tails."""
+    (log.repartition(partitions) if partitions else log).write.mode("overwrite").parquet(path)
