@@ -1,0 +1,135 @@
+"""icebox snapshot-table tests: MERGE correctness, idempotency fence,
+lineage, time travel, schema evolution (north-rule T3/T6/T7)."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcdc import oracle
+from sparkcdc.changelog import generate_changelog, scan_slice
+from sparkcdc.icebox import IceboxTable
+
+SCHEMA_V1 = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+SCHEMA_V2 = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.LongType()),  # widened
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),  # added
+    ]
+)
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    return IceboxTable.create(spark, str(tmp_path / "tbl"), SCHEMA_V1, n_buckets=8)
+
+
+def test_merge_single_batch_matches_oracle(spark, table):
+    log = generate_changelog(spark, 3_000, 300, seed=42)
+    expected = oracle.replay(log.toPandas())
+    m = table.merge(log, "b1")
+    assert not m["skipped"] and m["applied_events"] > 0
+    oracle.assert_table_equal(table.read().toPandas(), expected)
+    assert table.lineage["last_applied_lsn"] == 3_000
+
+
+def test_multi_batch_replay_and_idempotency(spark, table):
+    log = generate_changelog(spark, 5_000, 400, seed=9, dup_pct=15, shuffled=True)
+    expected = oracle.replay(log.toPandas())
+    for lo in range(0, 5_000, 1_000):
+        hi = lo + 1_000
+        batch = scan_slice(log, lo, hi)
+        m1 = table.merge(batch, f"b-{lo}-{hi}")
+        assert not m1["skipped"]
+        # driver retry re-commits the same batch — must be a no-op
+        m2 = table.merge(batch, f"b-{lo}-{hi}")
+        assert m2["skipped"]
+    oracle.assert_table_equal(table.read().toPandas(), expected)
+    # per-bucket lineage is populated and ≤ global lsn
+    lin = table.lineage
+    assert lin["last_applied_lsn"] == 5_000
+    assert lin["per_bucket"] and all(v <= 5_000 for v in lin["per_bucket"].values())
+
+
+def test_fence_drops_already_applied_events(spark, table):
+    log = generate_changelog(spark, 2_000, 200, seed=5)
+    table.merge(scan_slice(log, 0, 2_000), "b1")
+    before = table.read().toPandas()
+    # late duplicate delivery of an old slice under a NEW batch_id:
+    # every event is ≤ last_applied_lsn → fence filters all of them
+    m = table.merge(scan_slice(log, 0, 1_000), "b2-late")
+    assert m["applied_events"] == 0
+    oracle.assert_table_equal(table.read().toPandas(), before)
+
+
+def test_deletes_remove_rows(spark, table):
+    ins = generate_changelog(spark, 1_000, 100, seed=1, delete_pct=0)
+    table.merge(ins, "b1")
+    n0 = table.read().count()
+    # delete every doc present, seqs above the fence
+    docs = table.read().select("doc_id").distinct()
+    dels = docs.select(
+        (F.lit(10_000) + F.abs(F.xxhash64("doc_id")) % 1000).alias("seq"),
+        F.lit("delete").alias("op"),
+        "doc_id",
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit("src0").alias("source"),
+        F.current_timestamp().alias("ts"),
+    )
+    table.merge(dels, "b2")
+    assert n0 > 0 and table.read().count() == 0
+
+
+def test_time_travel(spark, table):
+    log = generate_changelog(spark, 2_000, 150, seed=3)
+    table.merge(scan_slice(log, 0, 1_000), "b1")
+    sid = table.snapshot["snapshot_id"]
+    state1 = table.read().toPandas()
+    table.merge(scan_slice(log, 1_000, 2_000), "b2")
+    assert not table.read().toPandas().equals(state1)
+    oracle.assert_table_equal(table.read(snapshot_id=sid).toPandas(), state1)
+
+
+def test_schema_evolution_widen_and_add(spark, table):
+    v1 = generate_changelog(spark, 2_000, 200, seed=4, schema_version=1)
+    table.merge(v1, "b1")
+    table.update_schema(SCHEMA_V2)
+    v2 = generate_changelog(spark, 4_000, 200, seed=4, schema_version=2).where(F.col("seq") > 2_000)
+    table.merge(v2, "b2")
+
+    got = table.read()
+    assert dict(got.dtypes)["n_tok"] == "bigint"
+    assert "lang" in got.columns
+
+    full = v1.withColumn("lang", F.lit(None).cast("string")).unionByName(v2)
+    expected = oracle.replay(full.toPandas(), value_cols=["tokens", "n_tok", "source", "lang"])
+    actual = got.toPandas()
+    # v1-era rows surface with lang NULL; n_tok comparable as int
+    actual["n_tok"] = actual["n_tok"].astype("int64")
+    expected["n_tok"] = expected["n_tok"].astype("int64")
+    oracle.assert_table_equal(actual, expected)
+
+
+def test_atomic_pointer_and_snapshot_history(spark, table):
+    log = generate_changelog(spark, 1_000, 80, seed=8)
+    table.merge(log, "b1")
+    snaps = table.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == list(range(len(snaps)))
+    assert snaps[-1]["parent"] == snaps[-2]["snapshot_id"]
+    # reload from disk sees the same state
+    t2 = IceboxTable.load(spark, table.path)
+    assert t2.snapshot["snapshot_id"] == table.snapshot["snapshot_id"]
+    oracle.assert_table_equal(t2.read().toPandas(), table.read().toPandas())
