@@ -1,0 +1,58 @@
+"""Job configuration — the PluginTask analog
+(/root/reference/src/main/java/org/embulk/input/jira/JiraInputPlugin.java:57-100)
+with the reference's validation semantics
+(util/JiraUtil.java:58-96) minus its live-network anti-pattern: validation
+here is pure (the credential probe becomes a cheap local source check done
+by the engine before the run, SURVEY.md §2.1 S6)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+class ConfigError(ValueError):
+    """Invalid job config (≈ embulk ConfigException)."""
+
+
+@dataclass
+class JobConfig:
+    log_path: str
+    table_path: str
+    batch_size: int = 100_000
+    key: str = "doc_id"
+    seq_col: str = "seq"
+    op_col: str = "op"
+    ts_col: str = "ts"
+    n_buckets: int = 64
+    dynamic_schema: bool = False  # re-infer schema per run (JiraInputPlugin.java:89-91)
+    # driver-level retry of a failed merge commit (≈ JiraInputPlugin.java:69-83)
+    retry_limit: int = 5
+    retry_initial_wait_sec: float = 1.0
+    retry_max_wait_sec: float = 120.0
+    columns: list[dict] = field(default_factory=list)  # optional projection spec
+
+    def validate(self) -> "JobConfig":
+        # ≈ validateTaskConfig's range checks (util/JiraUtil.java:58-96)
+        if not self.log_path:
+            raise ConfigError("log_path could not be empty")
+        if not self.table_path:
+            raise ConfigError("table_path could not be empty")
+        if self.batch_size <= 0:
+            raise ConfigError("batch_size must be greater than 0")
+        if self.retry_limit < 0 or self.retry_limit > 100:
+            raise ConfigError("retry_limit must be between 0 and 100")
+        if self.retry_initial_wait_sec <= 0:
+            raise ConfigError("retry_initial_wait_sec must be greater than 0")
+        if self.n_buckets <= 0:
+            raise ConfigError("n_buckets must be greater than 0")
+        for c in self.columns:
+            if "name" not in c or "type" not in c:
+                raise ConfigError(f"column spec needs name and type: {c}")
+        return self
+
+    def check_source(self) -> None:
+        """Pre-flight probe (≈ checkUserCredentials, client/JiraClient.java:53-65):
+        the log path must exist and be readable before the run starts."""
+        if not os.path.exists(self.log_path):
+            raise ConfigError(f"log source not found: {self.log_path}")

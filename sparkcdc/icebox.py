@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 from .dedup import lww_dedup
 
 SEQ_COL = "_seq"  # system column: last-writer LSN per row
+DELETED_COL = "_deleted"  # system column: tombstone marker
 
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
@@ -189,23 +190,36 @@ class IceboxTable:
             groups.setdefault(e["schema_v"], []).append(os.path.join(self.path, e["path"]))
         parts = []
         for v, files in groups.items():
-            file_schema = self._schema_of(snap, v).add(SEQ_COL, T.LongType())
+            file_schema = (
+                self._schema_of(snap, v)
+                .add(SEQ_COL, T.LongType())
+                .add(DELETED_COL, T.BooleanType())
+            )
             df = self.spark.read.schema(file_schema).parquet(*files)
             parts.append(_normalize_to(df, current, evolved=(v != cur_v)))
         if not parts:
-            empty = current.add(SEQ_COL, T.LongType())
+            empty = current.add(SEQ_COL, T.LongType()).add(DELETED_COL, T.BooleanType())
             return self.spark.createDataFrame([], empty)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out if with_seq else out.drop(SEQ_COL)
+        return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
 
-    def read(self, snapshot_id: int | None = None, *, with_seq: bool = False) -> DataFrame:
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        *,
+        with_seq: bool = False,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame."""
         snap = self._snap
         if snapshot_id is not None:
             snap = next(s for s in self.snapshots() if s["snapshot_id"] == snapshot_id)
-        return self._read_manifest(snap, snap["manifest"], with_seq=with_seq)
+        out = self._read_manifest(snap, snap["manifest"], with_seq=True)
+        if not include_tombstones:
+            out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
 
     # ---------------- schema evolution ----------------
 
@@ -237,9 +251,21 @@ class IceboxTable:
         seq_col: str = "seq",
         op_col: str = "op",
         delete_value: str = "delete",
+        fence: bool = True,
+        tombstones: bool = False,
     ) -> dict:
         """Key-partitioned MERGE of a micro-batch: last-writer-wins upsert +
         delete, copy-on-write per touched bucket, idempotent on batch_id.
+
+        Delivery-order contract: with ``fence=True`` (batch engine) the
+        caller feeds monotone LSN ranges and events at or below the global
+        checkpoint are dropped; deletes may then be physical. With
+        ``fence=False`` + ``tombstones=True`` (streaming / unordered
+        delivery) deletes persist as tombstone rows so an older update
+        arriving later still loses LWW instead of resurrecting the row.
+        A table should use one mode consistently. Tombstone compaction =
+        a fence-mode merge of an empty batch rewriting touched buckets
+        (future work; tombstones are small).
 
         Returns a metrics dict (also recorded in the snapshot summary).
         """
@@ -252,8 +278,8 @@ class IceboxTable:
         payload_cols = [f.name for f in current.fields]
 
         # 1. fence + in-batch LWW dedup (salting-aware hash agg)
-        fence = snap["lineage"]["last_applied_lsn"]
-        ups = updates.where(F.col(seq_col) > F.lit(fence))
+        fence_lsn = snap["lineage"]["last_applied_lsn"]
+        ups = updates.where(F.col(seq_col) > F.lit(fence_lsn)) if fence else updates
         ups = lww_dedup(ups, key=key, seq=seq_col)
         ups = _normalize_to(ups, current, evolved=False).select(
             *payload_cols,
@@ -270,7 +296,7 @@ class IceboxTable:
             .collect()
         )
         touched = {int(r["_bucket"]): (int(r["n"]), int(r["mx"])) for r in stats}
-        batch_max_seq = max((mx for _, mx in touched.values()), default=fence)
+        batch_max_seq = max((mx for _, mx in touched.values()), default=fence_lsn)
 
         new_manifest = [e for e in snap["manifest"] if e["bucket"] not in touched]
         files_written: list[dict] = []
@@ -280,13 +306,29 @@ class IceboxTable:
             # 3. read ONLY touched buckets of the target
             tgt_entries = [e for e in snap["manifest"] if e["bucket"] in touched]
             tgt = self._read_manifest(snap, tgt_entries, with_seq=True)
-            tgt = tgt.select(*payload_cols, SEQ_COL, F.lit("upsert").alias("_op"))
+            tgt = tgt.select(
+                *payload_cols,
+                SEQ_COL,
+                F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit(delete_value))
+                .otherwise(F.lit("upsert"))
+                .alias("_op"),
+            )
             tgt = tgt.withColumn("_bucket", bucket_expr(key, nb))
 
-            # 4. LWW across target ∪ updates, drop deletes
+            # 4. LWW across target ∪ updates; deletes drop out physically
+            #    (fence mode) or persist as tombstones (unordered mode)
             combined = tgt.unionByName(ups)
             merged = lww_dedup(combined, key=key, seq=SEQ_COL)
-            merged = merged.where(F.col("_op") != F.lit(delete_value)).drop("_op")
+            if tombstones:
+                merged = merged.withColumn(
+                    DELETED_COL, F.col("_op") == F.lit(delete_value)
+                ).drop("_op")
+            else:
+                merged = (
+                    merged.where(F.col("_op") != F.lit(delete_value))
+                    .drop("_op")
+                    .withColumn(DELETED_COL, F.lit(False))
+                )
 
             # 5. copy-on-write: rewrite touched buckets into a new commit dir
             commit_dir = f"data/c{snap['snapshot_id'] + 1}"
@@ -323,6 +365,7 @@ class IceboxTable:
             "batch_id": batch_id,
             "skipped": False,
             "applied_events": sum(n for n, _ in touched.values()),
+            "per_bucket_applied": {str(b): n for b, (n, _) in sorted(touched.items())},
             "touched_buckets": sorted(touched),
             "files_written": len(files_written),
             "rows_written": rows_out,
@@ -336,7 +379,7 @@ class IceboxTable:
             "committed_batches": snap["committed_batches"] + [batch_id],
             "manifest": new_manifest,
             "lineage": {
-                "last_applied_lsn": max(fence, batch_max_seq),
+                "last_applied_lsn": max(fence_lsn, batch_max_seq),
                 "per_bucket": per_bucket,
             },
             "summary": {"operation": "merge", **metrics},

@@ -1,0 +1,39 @@
+"""Structured metrics (north rule: per-partition throughput, applied-event
+counts, watermark lag). One JSON object per micro-batch, appended to
+<table>/metadata/metrics.jsonl and kept in memory."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class MetricsLog:
+    def __init__(self, table_path: str | None = None):
+        self.records: list[dict] = []
+        self._path = (
+            os.path.join(table_path, "metadata", "metrics.jsonl") if table_path else None
+        )
+
+    def emit(self, record: dict) -> dict:
+        record = {"emitted_at": time.time(), **record}
+        self.records.append(record)
+        if self._path:
+            with open(self._path, "a") as fh:
+                fh.write(json.dumps(record) + "\n")
+        return record
+
+    def totals(self) -> dict:
+        applied = sum(r.get("applied_events", 0) for r in self.records)
+        scanned = sum(r.get("scanned_events", 0) for r in self.records)
+        dur = sum(r.get("duration_sec", 0.0) for r in self.records)
+        return {
+            "batches": len(self.records),
+            "applied_events": applied,
+            "scanned_events": scanned,
+            "duration_sec": dur,
+            # headline: change-events processed end-to-end per second
+            "events_per_sec": (scanned / dur) if dur else 0.0,
+            "applied_per_sec": (applied / dur) if dur else 0.0,
+        }

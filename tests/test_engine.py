@@ -1,0 +1,145 @@
+"""Engine lifecycle tests: full replay vs oracle, resume-from-checkpoint
+after a mid-run kill, mid-stream schema evolution, preview, config
+validation, hot-key skew, streaming front-end equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcdc import oracle
+from sparkcdc.changelog import generate_changelog, write_log_parquet
+from sparkcdc.config import ConfigError, JobConfig
+from sparkcdc.engine import CDCEngine
+from sparkcdc.icebox import IceboxTable
+
+
+def _mk_log(spark, tmp_path, n=6_000, docs=500, name="log", **kw):
+    path = str(tmp_path / name)
+    write_log_parquet(generate_changelog(spark, n, docs, **kw), path)
+    return path
+
+
+def test_full_run_matches_oracle_and_emits_metrics(spark, tmp_path):
+    log_path = _mk_log(spark, tmp_path, seed=42, dup_pct=10, shuffled=True)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "tbl"),
+                    batch_size=1_500, n_buckets=16)
+    eng = CDCEngine(spark, cfg)
+    totals = eng.run()
+    expected = oracle.replay(spark.read.parquet(log_path).toPandas())
+    oracle.assert_table_equal(eng.read_table().toPandas(), expected)
+    assert totals["batches"] == 4
+    assert totals["applied_events"] > 0 and totals["events_per_sec"] > 0
+    batch0 = eng.metrics.records[0]
+    assert batch0["per_bucket_applied"] and batch0["watermark_lag_sec"] is not None
+
+
+def test_resume_after_kill_mid_run(spark, tmp_path):
+    log_path = _mk_log(spark, tmp_path, seed=7)
+    tbl_path = str(tmp_path / "tbl")
+    cfg = JobConfig(log_path=log_path, table_path=tbl_path, batch_size=2_000)
+    # run only 1 of 3 batches, then "kill" the engine (drop all state)
+    eng1 = CDCEngine(spark, cfg)
+    eng1.run(max_batches=1)
+    assert eng1.table.lineage["last_applied_lsn"] == 2_000
+    del eng1
+    # fresh engine instance = restarted driver; resumes from checkpoint
+    eng2 = CDCEngine(spark, cfg)
+    assert eng2.plan_batches() == [(2_000, 4_000), (4_000, 6_000)]
+    eng2.run()
+    expected = oracle.replay(spark.read.parquet(log_path).toPandas())
+    oracle.assert_table_equal(eng2.read_table().toPandas(), expected)
+
+
+def test_rerun_is_noop(spark, tmp_path):
+    log_path = _mk_log(spark, tmp_path, seed=3, n=2_000, docs=200)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "tbl"), batch_size=1_000)
+    CDCEngine(spark, cfg).run()
+    eng = CDCEngine(spark, cfg)
+    assert eng.plan_batches() == []
+    totals = eng.run()
+    assert totals["batches"] == 0
+
+
+def test_mid_stream_schema_evolution(spark, tmp_path):
+    """v1 events then v2 events (adds lang, widens n_tok) in one log —
+    engine evolves the table schema at the v2 batch boundary."""
+    v1 = generate_changelog(spark, 2_000, 300, seed=4, schema_version=1)
+    v2 = generate_changelog(spark, 4_000, 300, seed=4, schema_version=2).where(F.col("seq") > 2_000)
+    v1_padded = v1.withColumn("lang", F.lit(None).cast("string")).withColumn(
+        "n_tok", F.col("n_tok").cast("long"))
+    log_path = str(tmp_path / "log")
+    v1_padded.unionByName(v2).write.parquet(log_path)
+    # the on-disk parquet union already has the v2 shape; emulate true
+    # mid-stream arrival by feeding the two eras as separate log dfs
+    tbl_path = str(tmp_path / "tbl")
+    cfg = JobConfig(log_path=log_path, table_path=tbl_path, batch_size=2_000)
+    eng = CDCEngine(spark, cfg, log_df=v1)
+    eng.run()
+    assert dict(eng.read_table().dtypes)["n_tok"] == "int"
+    eng2 = CDCEngine(spark, cfg, log_df=v2)
+    changes_logged = eng2.run()
+    got = eng2.read_table()
+    assert dict(got.dtypes)["n_tok"] == "bigint" and "lang" in got.columns
+    full = v1_padded.unionByName(v2)
+    expected = oracle.replay(full.toPandas(), value_cols=["tokens", "n_tok", "source", "lang"])
+    actual = got.toPandas()
+    actual["n_tok"] = actual["n_tok"].astype("int64")
+    expected["n_tok"] = expected["n_tok"].astype("int64")
+    oracle.assert_table_equal(actual, expected)
+    assert changes_logged["applied_events"] > 0
+
+
+def test_hot_key_skew_replay(spark, tmp_path):
+    log_path = _mk_log(spark, tmp_path, seed=13, n=8_000, docs=400, hot_key_pct=50,
+                       name="hotlog")
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "tbl"), batch_size=4_000)
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    expected = oracle.replay(spark.read.parquet(log_path).toPandas())
+    oracle.assert_table_equal(eng.read_table().toPandas(), expected)
+
+
+def test_preview_commits_nothing(spark, tmp_path):
+    log_path = _mk_log(spark, tmp_path, seed=5, n=1_000, docs=100)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "tbl"))
+    eng = CDCEngine(spark, cfg)
+    prev = eng.preview().collect()
+    assert len(prev) == 10 and [r["seq"] for r in prev] == list(range(1, 11))
+    assert eng.table.lineage["last_applied_lsn"] == 0
+    assert eng.read_table().count() == 0
+
+
+@pytest.mark.parametrize(
+    "kw,msg",
+    [
+        ({"log_path": ""}, "log_path"),
+        ({"batch_size": 0}, "batch_size"),
+        ({"retry_limit": -1}, "retry_limit"),
+        ({"n_buckets": 0}, "n_buckets"),
+        ({"columns": [{"name": "x"}]}, "column spec"),
+    ],
+)
+def test_config_validation(kw, msg):
+    base = dict(log_path="/x", table_path="/y")
+    base.update(kw)
+    with pytest.raises(ConfigError, match=msg):
+        JobConfig(**base).validate()
+
+
+def test_missing_source_fails_preflight(spark, tmp_path):
+    cfg = JobConfig(log_path=str(tmp_path / "nope"), table_path=str(tmp_path / "t"))
+    with pytest.raises(ConfigError, match="not found"):
+        CDCEngine(spark, cfg)
+
+
+def test_streaming_front_end_converges(spark, tmp_path):
+    from sparkcdc.streaming import run_streaming
+
+    log_path = _mk_log(spark, tmp_path, seed=21, n=4_000, docs=300, dup_pct=10)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "stbl"), n_buckets=16)
+    totals = run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+    expected = oracle.replay(spark.read.parquet(log_path).toPandas())
+    got = IceboxTable.load(spark, cfg.table_path).read().toPandas()
+    oracle.assert_table_equal(got, expected)
+    assert totals["applied_events"] > 0
