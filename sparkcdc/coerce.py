@@ -108,7 +108,7 @@ def coerce_long(col: Column, dt: T.DataType) -> Column:
     if _numeric(dt):
         return col.cast("long")  # truncation toward zero, as BigDecimal.longValue
     if _is(dt, T.StringType):
-        return F.when(col.rlike(_INT_RE), F.try_cast(col, "long")).otherwise(F.lit(None).cast("long"))
+        return F.when(col.rlike(_INT_RE), col.try_cast("long")).otherwise(F.lit(None).cast("long"))
     return F.lit(None).cast("long")
 
 
@@ -116,9 +116,9 @@ def coerce_double(col: Column, dt: T.DataType) -> Column:
     if _numeric(dt):
         return col.cast("double")
     if _is(dt, T.StringType):
-        return F.when(col.rlike(_FLOAT_RE), F.try_cast(F.regexp_replace(col, "[fFdD]$", ""), "double")).otherwise(
-            F.lit(None).cast("double")
-        )
+        return F.when(
+            col.rlike(_FLOAT_RE), F.regexp_replace(col, "[fFdD]$", "").try_cast("double")
+        ).otherwise(F.lit(None).cast("double"))
     return F.lit(None).cast("double")
 
 

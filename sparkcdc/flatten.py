@@ -109,8 +109,11 @@ def flatten_fields(schema: T.StructType) -> list[FlatField]:
             elem = dtype.elementType
             if isinstance(elem, T.StructType) and elem.fields:
                 # transpose array<struct> → pseudo-object of per-key arrays
+                def _getter(name):
+                    return lambda x: x.getField(name)
+
                 fields = [
-                    (f.name, F.transform(expr, lambda x, _f=f: x.getField(_f.name)), T.ArrayType(f.dataType))
+                    (f.name, F.transform(expr, _getter(f.name)), T.ArrayType(f.dataType))
                     for f in elem.fields
                 ]
                 obj = F.struct(*[e.alias(n) for n, e, _ in fields])
