@@ -31,10 +31,15 @@ SHINGLE_N = 3
 def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per document."""
     words = F.split(F.trim(F.col(text_col)), "\\s+")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    # guard: Spark's sequence(1, 0) is DESCENDING [1,0]; docs shorter than
+    # the shingle width must yield an empty shingle set instead
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select("doc_id", F.explode(sh).alias("shingle"))
         .distinct()

@@ -44,20 +44,6 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a codec: FEATURE_DIM floats from byte
-    statistics of equal-width stripes."""
-    if payload is None:
-        return None
-    n = max(len(payload), 1)
-    stripe = max(n // FEATURE_DIM, 1)
-    out = []
-    for i in range(FEATURE_DIM):
-        chunk = payload[i * stripe : (i + 1) * stripe] or b"\x00"
-        out.append(float(sum(chunk)) / len(chunk) / 255.0)
-    return out
-
-
 def extract_features(df: DataFrame, *, decode_backend: str = "fake") -> DataFrame:
     """Decode/feature-extract over binary payloads with ``mapInPandas`` —
     Arrow batches in, Arrow batches out, partition-parallel."""
@@ -69,7 +55,24 @@ def extract_features(df: DataFrame, *, decode_backend: str = "fake") -> DataFram
     if decode_backend != "fake":
         raise ValueError(f"unknown decode_backend: {decode_backend}")
 
+    feature_dim = FEATURE_DIM
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: pickled by value, so executors don't
+        # need the sparkcdc package importable (spark-submit --py-files
+        # is still the blessed path; this keeps ad-hoc drivers working)
+        def _fake_decode(payload):
+            if payload is None:
+                return None
+            payload = bytes(payload)
+            n = max(len(payload), 1)
+            stripe = max(n // feature_dim, 1)
+            out = []
+            for i in range(feature_dim):
+                chunk = payload[i * stripe : (i + 1) * stripe] or b"\x00"
+                out.append(float(sum(chunk)) / len(chunk) / 255.0)
+            return out
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
