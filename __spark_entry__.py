@@ -1,38 +1,646 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC replay at sf0.001. ``queries()``
+exposes one callable per implemented operator from SURVEY.md §2 plus the
+training-data pipeline ops; ``oracle_sql()`` gives the DuckDB-equivalent
+ANSI SQL for each (omitted only for genuinely non-SQL ops — simhash,
+multimodal feature extraction — which get rows-only checks).
+
+Cross-engine determinism rules used throughout:
+  * no raw timestamps in outputs (rendered to strings)
+  * no aggregated doubles (decimal casts); per-row double arithmetic from
+    identical int inputs is IEEE-deterministic and safe
+  * cosines rounded to 6 dp before ranking, vec_id tiebreaks
+  * portable hash family: md5 (identical in both engines)
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- CDC core
+
+def _derived_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic change log derived from the events table: seq=LSN,
+    user_id=doc key, 'error' events are deletes. Shared by the merge /
+    replay queries AND their oracles (same expressions in SQL)."""
+    e = _t(spark, sf_dir, "events")
+    n_tok = F.floor(F.col("value")).cast("int")
+    return e.select(
+        (F.col("event_id") + 1).alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("array<int>"))
+        .otherwise(F.sequence(F.lit(1), F.pmod(n_tok, F.lit(8)) + 1).cast("array<int>"))
+        .alias("tokens"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("int")).otherwise(n_tok).alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.col("ts"),
+    )
+
+
+_DERIVED_LOG_SQL = """
+    SELECT event_id + 1 AS seq,
+           CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+           CAST(user_id AS VARCHAR) AS doc_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE CAST(FLOOR(value) AS INTEGER) END AS n_tok,
+           event_type AS source
+    FROM events
+"""
+
+_FINAL_STATE_SQL = f"""
+    WITH log AS ({_DERIVED_LOG_SQL}),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        FROM log
+    )
+"""
+
+
+def q_s1_changelog_scan(spark, sf_dir):
+    from sparkcdc.changelog import scan_slice
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"), "user_id", "event_type", "value"
+    )
+    return scan_slice(e, 2000, 5000)
+
+
+def q_s3_count_probe(spark, sf_dir):
+    return _t(spark, sf_dir, "events").agg(
+        F.count("*").alias("n_events"), F.max("event_id").alias("max_seq")
+    )
+
+
+def q_s5_fields_merge(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+    )
+
+
+def q_s8_preview_limit(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(10)
+    )
+
+
+def q_p2_filter_pushdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") < "1997-01-01") & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+def q_p4_column_pruning(spark, sf_dir):
+    return _t(spark, sf_dir, "part").where(F.col("p_size") >= 30).select("p_partkey", "p_name")
+
+
+def q_p5_null_on_missing(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    missing = F.get_json_object("props", "$.missing.path")
+    return e.agg(F.count("*").alias("n_total"), F.count(missing).alias("n_present"))
+
+
+def q_f1_flatten_props(spark, sf_dir):
+    from sparkcdc.flatten import flatten_df
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k string").alias("props")
+    )
+    return flatten_df(e)  # → columns event_id, `props.k`
+
+
+def q_a1_count_aggregate(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_a4_page_math(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.ceil(F.count("*") / F.lit(50.0)).cast("long").alias("total_pages"))
+    )
+
+
+def q_l1_topk_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_l3_sorted_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+def q_j1_union_by_name(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("price"),
+    )
+    return c.unionByName(p, allowMissingColumns=True)
+
+
+def q_t2_lww_dedup(spark, sf_dir):
+    from sparkcdc.dedup import lww_dedup
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    out = lww_dedup(e, key="user_id", seq="seq")
+    return out.select(
+        "user_id",
+        F.col("seq").alias("last_seq"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_t2s_lww_dedup_salted(spark, sf_dir):
+    from sparkcdc.dedup import lww_dedup
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    out = lww_dedup(e, key="user_id", seq="seq", salted=True, salt_buckets=8)
+    return out.select(
+        "user_id",
+        F.col("seq").alias("last_seq"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def q_cdc_merge_upsert(spark, sf_dir):
+    """MERGE semantics expressed as plan: target = state at LSN 6000,
+    updates = the rest; LWW across both, deletes drop out."""
+    from sparkcdc.changelog import scan_slice
+    from sparkcdc.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    target = lww_dedup(scan_slice(log, 0, 6000))
+    updates = scan_slice(log, 6000, 10**12)
+    merged = lww_dedup(target.unionByName(updates))
+    return merged.where(F.col("op") != "delete").select(
+        "doc_id", F.col("seq").alias("last_seq"), "n_tok", "source"
+    )
+
+
+def q_cdc_anti_join_deleted(spark, sf_dir):
+    from sparkcdc.dedup import lww_dedup
+
+    log = _derived_log(spark, sf_dir)
+    final = lww_dedup(log).where(F.col("op") != "delete").select("doc_id")
+    all_keys = log.select("doc_id").distinct()
+    return all_keys.join(final, "doc_id", "left_anti")
+
+
+def q_cdc_replay_engine(spark, sf_dir):
+    """The flagship: full engine replay (micro-batches, icebox MERGE
+    commits, lineage) of the derived change log into a scratch table."""
+    from sparkcdc.config import JobConfig
+    from sparkcdc.engine import CDCEngine
+
+    tbl = tempfile.mkdtemp(prefix="sparkcdc-entry-")
+    cfg = JobConfig(
+        log_path=sf_dir,  # unused: log_df supplied
+        table_path=os.path.join(tbl, "tbl"),
+        batch_size=4000,
+        n_buckets=16,
+    )
+    eng = CDCEngine(spark, cfg, log_df=_derived_log(spark, sf_dir))
+    eng.run()
+    return eng.read_table().select("doc_id", "n_tok", "source")
+
+
+# ------------------------------------------------------------- coercion ops
+
+def q_c1_try_casts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_long"),
+        F.col("event_type").try_cast("double").alias("et_double"),
+        (F.lower("event_type") == "true").alias("et_bool"),
+    )
+
+
+def q_c4_timestamp_parse(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    raw = F.when(F.col("o_orderkey") % 10 == 0, F.lit("garbage")).otherwise(
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    )
+    parsed = F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss"))
+    return o.select(
+        "o_orderkey", F.date_format(parsed, "yyyy-MM-dd").alias("parsed_day")
+    )
+
+
+def q_c5_array_join(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 5), ",").alias("first5"),
+    )
+
+
+# ------------------------------------------------------ training-data ops
+
+def q_text_token_counts(spark, sf_dir):
+    from sparkcdc.textops import with_token_counts
+
+    return with_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe"
+    )
+
+
+def q_text_lang_guess(spark, sf_dir):
+    from sparkcdc.textops import with_lang_guess
+
+    return with_lang_guess(_t(spark, sf_dir, "documents")).select("doc_id", "lang_guess")
+
+
+def q_text_quality(spark, sf_dir):
+    from sparkcdc.textops import with_quality
+
+    return with_quality(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_m", "punct_ratio", "stopword_ratio", "mean_tok_len"
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from sparkcdc.textops import with_fingerprint
+
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from sparkcdc.dedupe_docs import exact_dedupe
+
+    d = exact_dedupe(_t(spark, sf_dir, "documents"))
+    return d.select(
+        F.md5("norm_text").alias("text_hash"), "canonical_doc_id", "n_dups"
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from sparkcdc.dedupe_docs import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from sparkcdc.dedupe_docs import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from sparkcdc.dedupe_docs import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from sparkcdc.ann import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from sparkcdc.ann import lsh_ann_topk
+
+    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10, n_planes=4)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from sparkcdc.multimodal import with_binary_payload
+
+    return with_binary_payload(_t(spark, sf_dir, "documents")).select("doc_id", "n_bytes")
+
+
+def q_multimodal_features(spark, sf_dir):
+    from sparkcdc.multimodal import extract_features, with_binary_payload
+
+    return extract_features(with_binary_payload(_t(spark, sf_dir, "documents")))
+
+
+# --------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cdc_replay_engine(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "s1_changelog_scan": q_s1_changelog_scan,
+        "s3_count_probe": q_s3_count_probe,
+        "s5_fields_merge": q_s5_fields_merge,
+        "s8_preview_limit": q_s8_preview_limit,
+        "p2_filter_pushdown": q_p2_filter_pushdown,
+        "p4_column_pruning": q_p4_column_pruning,
+        "p5_null_on_missing": q_p5_null_on_missing,
+        "f1_flatten_props": q_f1_flatten_props,
+        "a1_count_aggregate": q_a1_count_aggregate,
+        "a4_page_math": q_a4_page_math,
+        "l1_topk_orders": q_l1_topk_orders,
+        "l3_sorted_distinct": q_l3_sorted_distinct,
+        "j1_union_by_name": q_j1_union_by_name,
+        "t2_lww_dedup": q_t2_lww_dedup,
+        "t2s_lww_dedup_salted": q_t2s_lww_dedup_salted,
+        "cdc_merge_upsert": q_cdc_merge_upsert,
+        "cdc_anti_join_deleted": q_cdc_anti_join_deleted,
+        "cdc_replay_engine": q_cdc_replay_engine,
+        "c1_try_casts": q_c1_try_casts,
+        "c4_timestamp_parse": q_c4_timestamp_parse,
+        "c5_array_join": q_c5_array_join,
+        "text_token_counts": q_text_token_counts,
+        "text_lang_guess": q_text_lang_guess,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from sparkcdc.ann import lsh_planes
+    from sparkcdc.dedupe_docs import LSH_BANDS, MINHASH_K
+    from sparkcdc.textops import BPE_RE, STOPWORDS
+
+    def occ_sql(word: str) -> str:
+        """Stopword-occurrence count — the same length-difference trick as
+        textops._occurrences, in SQL."""
+        pad = "(' ' || text || ' ')"
+        return (
+            f"(LENGTH({pad}) - LENGTH(REPLACE({pad}, ' {word} ', ' '))) / {len(word) + 1}.0"
+        )
+
+    def lang_score(lang: str) -> str:
+        return "(" + " + ".join(occ_sql(w) for w in STOPWORDS[lang]) + ")"
+
+    s = {lang: lang_score(lang) for lang in STOPWORDS}
+    lang_case = f"""
+        CASE WHEN GREATEST({s['de']}, {s['en']}, {s['es']}, {s['fr']}) <= 0 THEN 'und'
+             WHEN {s['de']} >= {s['en']} AND {s['de']} >= {s['es']} AND {s['de']} >= {s['fr']} THEN 'de'
+             WHEN {s['en']} >= {s['es']} AND {s['en']} >= {s['fr']} THEN 'en'
+             WHEN {s['es']} >= {s['fr']} THEN 'es'
+             ELSE 'fr' END
     """
-    return {}
+    all_stop = "(" + " + ".join(
+        occ_sql(w) for ws in STOPWORDS.values() for w in ws
+    ) + ")"
+
+    shingle_cte = """
+        WITH words AS (
+            SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, lang, shingle
+            FROM (
+                SELECT doc_id, lang,
+                       UNNEST(CASE WHEN len(w) >= 3
+                              THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+                              ELSE [] END) AS shingle
+                FROM words
+            )
+        )
+    """
+
+    planes = lsh_planes(64, 4)
+    plane_lits = [
+        "[" + ",".join(f"{v}.0" for v in row) + "]::DOUBLE[]" for row in planes
+    ]
+    bucket_sql = "(" + " || ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], {p}) >= 0 THEN '1' ELSE '0' END"
+        for p in plane_lits
+    ) + ")"
+
+    cos_sql = (
+        "ROUND(list_dot_product(qv, cv) / "
+        "(SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(cv, cv))), 6)"
+    )
+
+    rows_per_band = MINHASH_K // LSH_BANDS
+
+    return {
+        "s1_changelog_scan": """
+            SELECT event_id AS seq, user_id, event_type, value
+            FROM events WHERE event_id > 2000 AND event_id <= 5000
+        """,
+        "s3_count_probe": "SELECT COUNT(*) AS n_events, MAX(event_id) AS max_seq FROM events",
+        "s5_fields_merge": """
+            SELECT event_id, event_type,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "s8_preview_limit": """
+            SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 10
+        """,
+        "p2_filter_pushdown": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05
+        """,
+        "p4_column_pruning": "SELECT p_partkey, p_name FROM part WHERE p_size >= 30",
+        "p5_null_on_missing": """
+            SELECT COUNT(*) AS n_total,
+                   COUNT(json_extract_string(props, '$.missing.path')) AS n_present
+            FROM events
+        """,
+        "f1_flatten_props": """
+            SELECT event_id, json_extract_string(props, '$.k') AS "props.k" FROM events
+        """,
+        "a1_count_aggregate": """
+            SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "a4_page_math": """
+            SELECT event_type, CAST(CEIL(COUNT(*) / 50.0) AS BIGINT) AS total_pages
+            FROM events GROUP BY event_type
+        """,
+        "l1_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "l3_sorted_distinct": "SELECT DISTINCT event_type FROM events",
+        "j1_union_by_name": """
+            SELECT c_custkey AS id, c_name AS name, CAST(NULL AS DOUBLE) AS price FROM customer
+            UNION ALL
+            SELECT p_partkey, p_name, p_retailprice FROM part
+        """,
+        "t2_lww_dedup": """
+            SELECT user_id, event_id AS last_seq, event_type AS last_event_type,
+                   value AS last_value
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "t2s_lww_dedup_salted": """
+            SELECT user_id, event_id AS last_seq, event_type AS last_event_type,
+                   value AS last_value
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "cdc_merge_upsert": _FINAL_STATE_SQL + """
+            SELECT doc_id, seq AS last_seq, n_tok, source
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        "cdc_anti_join_deleted": _FINAL_STATE_SQL + """
+            SELECT doc_id FROM ranked WHERE rn = 1 AND op = 'delete'
+        """,
+        "cdc_replay_engine": _FINAL_STATE_SQL + """
+            SELECT doc_id, n_tok, source
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        "c1_try_casts": """
+            SELECT event_id,
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+                   TRY_CAST(event_type AS DOUBLE) AS et_double,
+                   (LOWER(event_type) = 'true') AS et_bool
+            FROM events
+        """,
+        "c4_timestamp_parse": """
+            SELECT o_orderkey,
+                   strftime(try_strptime(
+                       CASE WHEN o_orderkey % 10 = 0 THEN 'garbage'
+                            ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END,
+                       '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d') AS parsed_day
+            FROM orders
+        """,
+        "c5_array_join": """
+            SELECT doc_id,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 5), ',') AS first5
+            FROM documents
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "text_lang_guess": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "text_quality": f"""
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_m,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / LENGTH(text) AS punct_ratio,
+                   {all_stop} / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+                   LENGTH(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                       / len(string_split_regex(trim(text), '\\s+')) AS mean_tok_len
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(norm_text) AS text_hash,
+                   MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups
+            FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text
+                  FROM documents)
+            GROUP BY norm_text
+        """,
+        "dedup_ngram_jaccard": shingle_cte + """,
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc1, doc2,
+                   n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc1
+            JOIN cnt cb ON cb.doc_id = doc2
+            WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.6
+        """,
+        "dedup_minhash_lsh": shingle_cte + f""",
+            streams AS (
+                SELECT doc_id, i, shingle
+                FROM sh, (SELECT UNNEST(range(0, {MINHASH_K})) AS i)
+            ),
+            sig AS (
+                SELECT doc_id, i,
+                       MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+                FROM streams GROUP BY doc_id, i
+            ),
+            band AS (
+                -- // is integer division; bare / would be float division and
+                -- DuckDB's int cast ROUNDS (Spark truncates)
+                SELECT doc_id, i // {rows_per_band} AS band,
+                       array_to_string(list_sort(list(CAST(i AS VARCHAR) || '=' || mh)), '|') AS band_key
+                FROM sig GROUP BY doc_id, i // {rows_per_band}
+            )
+            SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+            FROM band x JOIN band y
+              ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        """,
+        "ann_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            s AS (SELECT query_id, neighbor_id, {cos_sql} AS cos
+                  FROM q, c WHERE neighbor_id <> query_id)
+            SELECT query_id, neighbor_id, rank, cos
+            FROM (SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+            WHERE rank <= 10
+        """,
+        "ann_lsh_topk": f"""
+            WITH tagged AS (SELECT vec_id, embedding, {bucket_sql} AS bucket FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
+                  FROM tagged WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, bucket FROM tagged),
+            s AS (SELECT query_id, neighbor_id, {cos_sql} AS cos
+                  FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id)
+            SELECT query_id, neighbor_id, rank, cos
+            FROM (SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+            WHERE rank <= 10
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+        """,
+        # dedup_simhash / multimodal_features: non-SQL (Arrow UDF) — rows-only
+    }
