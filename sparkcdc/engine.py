@@ -13,6 +13,7 @@ snapshot and re-applies only uncommitted ranges; re-commits are no-ops.
 
 from __future__ import annotations
 
+import datetime
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,7 +83,8 @@ class CDCEngine:
         while True:
             try:
                 m = self.table.merge(
-                    batch, batch_id, seq_col=self.cfg.seq_col, op_col=self.cfg.op_col
+                    batch, batch_id, seq_col=self.cfg.seq_col,
+                    op_col=self.cfg.op_col, ts_col=self.cfg.ts_col,
                 )
                 break
             except ConfigError:
@@ -94,8 +96,14 @@ class CDCEngine:
                 time.sleep(min(wait, self.cfg.retry_max_wait_sec))
                 wait *= 2  # exponential backoff (JiraInputPlugin.java:69-75)
         dur = time.time() - t0
-        lag_row = batch.agg(F.max(self.cfg.ts_col).alias("mx")).collect()[0]
-        lag = (time.time() - lag_row["mx"].timestamp()) if lag_row["mx"] is not None else None
+        # watermark lag from the merge's probe action (no extra scan)
+        mts = m.get("max_event_ts")
+        lag = (
+            time.time() - datetime.datetime.fromisoformat(mts).replace(
+                tzinfo=datetime.timezone.utc).timestamp()
+            if mts
+            else None
+        )
         rec = {
             "kind": "batch",
             "lo": lo,

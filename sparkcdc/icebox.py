@@ -47,7 +47,13 @@ DELETED_COL = "_deleted"  # system column: tombstone marker
 
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
-    return (F.abs(F.xxhash64(F.col(key_col))) % F.lit(n_buckets)).cast("int")
+    """Bucket id = Spark's own shuffle-partition function
+    pmod(murmur3_hash(key), n). Deliberate: a single
+    ``repartition(n_buckets, key)`` then simultaneously satisfies the merge
+    aggregation's distribution AND the on-disk bucket layout, so the
+    payload crosses exactly ONE shuffle per merge (verified aligned with
+    spark_partition_id in tests)."""
+    return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
 def _normalize_to(df: DataFrame, target: T.StructType, *, evolved: bool) -> DataFrame:
@@ -253,6 +259,7 @@ class IceboxTable:
         delete_value: str = "delete",
         fence: bool = True,
         tombstones: bool = False,
+        ts_col: str | None = None,
     ) -> dict:
         """Key-partitioned MERGE of a micro-batch: last-writer-wins upsert +
         delete, copy-on-write per touched bucket, idempotent on batch_id.
@@ -277,26 +284,39 @@ class IceboxTable:
         current = self.schema
         payload_cols = [f.name for f in current.fields]
 
-        # 1. fence + in-batch LWW dedup (salting-aware hash agg)
+        # 1. fence; in-batch dedup happens inside the single merge LWW below
+        #    (one aggregation dedups batch AND resolves against the target —
+        #    a separate pre-dedup pass would shuffle the payload twice)
         fence_lsn = snap["lineage"]["last_applied_lsn"]
-        ups = updates.where(F.col(seq_col) > F.lit(fence_lsn)) if fence else updates
-        ups = lww_dedup(ups, key=key, seq=seq_col)
-        ups = _normalize_to(ups, current, evolved=False).select(
+        raw = updates.where(F.col(seq_col) > F.lit(fence_lsn)) if fence else updates
+
+        # 2. plan: which buckets does this batch touch? Runs on the RAW
+        #    fenced batch, so Catalyst prunes the scan to (key, seq[, ts]) —
+        #    a cheap probe, and the manifest-level partition-pruning step.
+        #    Counts are pre-dedup events (the "applied events" metric); the
+        #    event-time watermark piggybacks on the same action.
+        probe_aggs = [F.count("*").alias("n"), F.max(seq_col).alias("mx")]
+        if ts_col and ts_col in raw.columns:
+            probe_aggs.append(F.max(ts_col).alias("mts"))
+        stats = (
+            raw.groupBy(bucket_expr(key, nb).alias("_bucket"))
+            .agg(*probe_aggs)
+            .collect()
+        )
+        touched = {int(r["_bucket"]): (int(r["n"]), int(r["mx"])) for r in stats}
+        batch_max_seq = max((mx for _, mx in touched.values()), default=fence_lsn)
+        max_ts = (
+            max((r["mts"] for r in stats if r["mts"] is not None), default=None)
+            if ts_col
+            else None
+        )
+
+        ups = _normalize_to(raw, current, evolved=False).select(
             *payload_cols,
             F.col(seq_col).cast("long").alias(SEQ_COL),
             F.col(op_col).alias("_op"),
         )
         ups = ups.withColumn("_bucket", bucket_expr(key, nb))
-
-        # 2. plan: which buckets does this batch touch? (tiny driver agg —
-        #    the manifest-level partition-pruning step)
-        stats = (
-            ups.groupBy("_bucket")
-            .agg(F.count("*").alias("n"), F.max(SEQ_COL).alias("mx"))
-            .collect()
-        )
-        touched = {int(r["_bucket"]): (int(r["n"]), int(r["mx"])) for r in stats}
-        batch_max_seq = max((mx for _, mx in touched.values()), default=fence_lsn)
 
         new_manifest = [e for e in snap["manifest"] if e["bucket"] not in touched]
         files_written: list[dict] = []
@@ -316,8 +336,12 @@ class IceboxTable:
             tgt = tgt.withColumn("_bucket", bucket_expr(key, nb))
 
             # 4. LWW across target ∪ updates; deletes drop out physically
-            #    (fence mode) or persist as tombstones (unordered mode)
-            combined = tgt.unionByName(ups)
+            #    (fence mode) or persist as tombstones (unordered mode).
+            #    The explicit repartition is THE single payload shuffle:
+            #    bucket_expr == Spark's partition function, so it satisfies
+            #    both the aggregation's distribution (no second exchange)
+            #    and the partitionBy file layout (each task owns one bucket)
+            combined = tgt.unionByName(ups).repartition(nb, F.col(key))
             merged = lww_dedup(combined, key=key, seq=SEQ_COL)
             if tombstones:
                 merged = merged.withColumn(
@@ -333,13 +357,7 @@ class IceboxTable:
             # 5. copy-on-write: rewrite touched buckets into a new commit dir
             commit_dir = f"data/c{snap['snapshot_id'] + 1}"
             out_path = os.path.join(self.path, commit_dir)
-            (
-                merged.repartition(max(len(touched), 1), "_bucket")
-                .sortWithinPartitions(key)
-                .write.partitionBy("_bucket")
-                .mode("overwrite")
-                .parquet(out_path)
-            )
+            merged.write.partitionBy("_bucket").mode("overwrite").parquet(out_path)
             import pyarrow.parquet as pq
 
             for fpath in glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet")):
@@ -370,6 +388,7 @@ class IceboxTable:
             "files_written": len(files_written),
             "rows_written": rows_out,
             "total_rows": total_rows,
+            "max_event_ts": max_ts.isoformat() if max_ts is not None else None,
         }
         new_snap = {
             **snap,

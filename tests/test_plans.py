@@ -1,0 +1,102 @@
+"""Physical-plan regression tests: the scale-critical properties of the
+engine's plans, pinned so refactors can't silently regress them.
+
+ - bucket function == Spark shuffle partition id (merge's single-shuffle
+   invariant)
+ - MERGE plan contains exactly ONE exchange of the payload
+ - coercion matrix compiles to a plain Project (no UDF, no exchange)
+ - parquet filter/column pushdown reaches the scan
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+from pyspark.sql import functions as F
+
+from sparkcdc.changelog import generate_changelog
+from sparkcdc.icebox import IceboxTable, bucket_expr
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_bucket_expr_matches_spark_partition_id(spark):
+    for nb in (8, 64):
+        df = generate_changelog(spark, 20_000, 2_000, seed=5).select("doc_id")
+        r = (
+            df.repartition(nb, F.col("doc_id"))
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn("b", bucket_expr("doc_id", nb))
+        )
+        assert r.where(F.col("pid") != F.col("b")).count() == 0
+
+
+def test_merge_plan_single_payload_exchange(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ])
+    tbl = IceboxTable.create(spark, str(tmp_path / "t"), schema, n_buckets=8)
+    log = generate_changelog(spark, 5_000, 400, seed=2)
+    tbl.merge(log.where(F.col("seq") <= 2_500), "b1")
+
+    # reconstruct the merge's write-side plan the same way merge() does
+    from sparkcdc.dedup import lww_dedup
+    from sparkcdc.icebox import SEQ_COL
+
+    ups = log.where(F.col("seq") > 2_500).select(
+        "doc_id", "tokens", "n_tok", "source",
+        F.col("seq").cast("long").alias(SEQ_COL), F.col("op").alias("_op"),
+    ).withColumn("_bucket", bucket_expr("doc_id", 8))
+    tgt = tbl.read(with_seq=True).select(
+        "doc_id", "tokens", "n_tok", "source", SEQ_COL, F.lit("upsert").alias("_op")
+    ).withColumn("_bucket", bucket_expr("doc_id", 8))
+    merged = lww_dedup(
+        tgt.unionByName(ups).repartition(8, F.col("doc_id")), seq=SEQ_COL
+    ).where(F.col("_op") != "delete")
+
+    plan = _plan(merged, "simple")  # simple mode: one line per operator
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected exactly 1 exchange, plan:\n{plan}"
+    # and the aggregation reuses the explicit repartitioning
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobin" not in plan
+
+
+def test_coercion_is_single_project_no_udf(spark):
+    from sparkcdc.coerce import coerce_columns
+
+    df = spark.read.json(spark.sparkContext.parallelize(
+        ['{"a": "1", "b": "x", "c": {"d": 2}}']))
+    out = coerce_columns(df, [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "boolean"},
+        {"name": "c", "type": "json"},
+        {"name": "a", "type": "timestamp"},
+    ])
+    plan = _plan(out, "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Project") == 1
+
+
+def test_parquet_pushdown_reaches_scan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = df.where(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]" in plan
+    # column pruning: read schema carries only the two needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_lww_dedup_uses_partial_aggregation(spark):
+    """Standalone LWW (query-level op) keeps partial+final agg so map-side
+    combine absorbs hot keys before the shuffle."""
+    from sparkcdc.dedup import lww_dedup
+
+    log = generate_changelog(spark, 10_000, 500, seed=9)
+    plan = _plan(lww_dedup(log))
+    assert plan.count("SortAggregate") == 2 or "partial_max_by" in plan
