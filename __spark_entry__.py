@@ -173,6 +173,37 @@ def q_j1_union_by_name(spark, sf_dir):
     return c.unionByName(p, allowMissingColumns=True)
 
 
+def q_j2_broadcast_join(spark, sf_dir):
+    """Star join: fact orders x broadcast customer dim, exact decimal agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+def q_a3_distinct_union(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(F.col("event_type").alias("val"))
+    d = _t(spark, sf_dir, "documents").select(F.col("lang").alias("val"))
+    return e.unionByName(d).distinct()
+
+
+def q_guess_schema(spark, sf_dir):
+    """Schema guess as a query: inferred column specs for the events table
+    (golden-checked against a static oracle, like the reference's guess
+    golden jira_input_plugin.json:62-90)."""
+    from sparkcdc.schema_infer import guess_columns
+
+    specs = guess_columns(_t(spark, sf_dir, "events"))
+    rows = [(s["name"], s["type"], s.get("format")) for s in specs]
+    return spark.createDataFrame(rows, "col_name: string, col_type: string, col_format: string")
+
+
 def q_t2_lww_dedup(spark, sf_dir):
     from sparkcdc.dedup import lww_dedup
 
@@ -379,6 +410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l1_topk_orders": q_l1_topk_orders,
         "l3_sorted_distinct": q_l3_sorted_distinct,
         "j1_union_by_name": q_j1_union_by_name,
+        "j2_broadcast_join": q_j2_broadcast_join,
+        "a3_distinct_union": q_a3_distinct_union,
+        "guess_schema": q_guess_schema,
         "t2_lww_dedup": q_t2_lww_dedup,
         "t2s_lww_dedup_salted": q_t2s_lww_dedup_salted,
         "cdc_merge_upsert": q_cdc_merge_upsert,
@@ -507,6 +541,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS id, c_name AS name, CAST(NULL AS DOUBLE) AS price FROM customer
             UNION ALL
             SELECT p_partkey, p_name, p_retailprice FROM part
+        """,
+        "j2_broadcast_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "a3_distinct_union": """
+            SELECT DISTINCT val FROM (
+                SELECT event_type AS val FROM events
+                UNION ALL SELECT lang FROM documents
+            )
+        """,
+        "guess_schema": """
+            SELECT * FROM (VALUES
+                ('event_id', 'long', CAST(NULL AS VARCHAR)),
+                ('event_type', 'string', NULL),
+                ('props', 'string', NULL),
+                ('ts', 'timestamp', NULL),
+                ('user_id', 'long', NULL),
+                ('value', 'double', NULL)
+            ) AS t(col_name, col_type, col_format)
         """,
         "t2_lww_dedup": """
             SELECT user_id, event_id AS last_seq, event_type AS last_event_type,

@@ -247,6 +247,68 @@ class IceboxTable:
         }
         self._commit(snap)
 
+    # ---------------- maintenance ----------------
+
+    def compact(self, *, drop_tombstones: bool = True) -> dict:
+        """Rewrite every bucket that has >1 file (or tombstones) into one
+        file, dropping tombstones. Metadata-only snapshot if nothing needs
+        work. Long-running CDC tables accumulate one file set per commit;
+        compaction bounds read amplification — at scale, run per-bucket on
+        a size threshold."""
+        snap = self._snap
+        by_bucket: dict[int, list[dict]] = {}
+        for e in snap["manifest"]:
+            by_bucket.setdefault(e["bucket"], []).append(e)
+        todo = sorted(b for b, es in by_bucket.items() if len(es) > 1
+                      or any(e["schema_v"] != snap["schema_version"] for e in es))
+        if drop_tombstones:
+            todo = sorted(set(todo) | set(by_bucket))
+        if not todo:
+            return {"compacted_buckets": 0, "files_before": len(snap["manifest"])}
+
+        entries = [e for b in todo for e in by_bucket[b]]
+        df = self._read_manifest(snap, entries, with_seq=True)
+        if drop_tombstones:
+            df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        df = df.withColumn("_bucket", bucket_expr(self.key, self.n_buckets))
+        commit_dir = f"data/c{snap['snapshot_id'] + 1}"
+        out_path = os.path.join(self.path, commit_dir)
+        (
+            df.repartition(self.n_buckets, F.col(self.key))
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_path)
+        )
+        import pyarrow.parquet as pq
+
+        new_manifest = [e for e in snap["manifest"] if e["bucket"] not in set(todo)]
+        for fpath in glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet")):
+            bucket = int(fpath.split("_bucket=")[1].split(os.sep)[0])
+            new_manifest.append(
+                {
+                    "path": os.path.relpath(fpath, self.path),
+                    "bucket": bucket,
+                    "schema_v": snap["schema_version"],
+                    "rows": pq.ParquetFile(fpath).metadata.num_rows,
+                }
+            )
+        metrics = {
+            "compacted_buckets": len(todo),
+            "files_before": len(snap["manifest"]),
+            "files_after": len(new_manifest),
+        }
+        self._commit(
+            {
+                **snap,
+                "snapshot_id": snap["snapshot_id"] + 1,
+                "parent": snap["snapshot_id"],
+                "batch_id": None,
+                "manifest": new_manifest,
+                "summary": {"operation": "compact", **metrics},
+            }
+        )
+        return metrics
+
     # ---------------- merge (the sink) ----------------
 
     def merge(

@@ -41,7 +41,7 @@ def _base_guess(dtype: T.DataType, kind: str) -> str:
         return "long"
     if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
         return "double"
-    if isinstance(dtype, (T.TimestampType, T.DateType)):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return "timestamp"
     if isinstance(dtype, (T.StructType, T.ArrayType, T.MapType)):
         return "json"

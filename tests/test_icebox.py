@@ -133,3 +133,44 @@ def test_atomic_pointer_and_snapshot_history(spark, table):
     t2 = IceboxTable.load(spark, table.path)
     assert t2.snapshot["snapshot_id"] == table.snapshot["snapshot_id"]
     oracle.assert_table_equal(t2.read().toPandas(), table.read().toPandas())
+
+
+def test_compaction_preserves_state_and_bounds_files(spark, table):
+    from sparkcdc.changelog import generate_changelog, scan_slice
+
+    log = generate_changelog(spark, 3_000, 250, seed=17, dup_pct=10)
+    for lo in range(0, 3_000, 1_000):
+        table.merge(scan_slice(log, lo, lo + 1_000), f"b{lo}")
+    before = table.read().toPandas()
+    n_files_before = len(table.snapshot["manifest"])
+    m = table.compact()
+    assert m["compacted_buckets"] > 0
+    assert len(table.snapshot["manifest"]) <= table.n_buckets
+    oracle.assert_table_equal(table.read().toPandas(), before)
+    # compaction is a normal snapshot: time travel to pre-compact works
+    oracle.assert_table_equal(
+        table.read(snapshot_id=table.snapshot["parent"]).toPandas(), before
+    )
+    # further merges keep working on the compacted table
+    more = generate_changelog(spark, 4_000, 250, seed=17).where(F.col("seq") > 3_000)
+    table.merge(more, "b-after-compact")
+    full = generate_changelog(spark, 4_000, 250, seed=17)
+    # dup delivery in first 3k slices has no effect on final state
+    expected = oracle.replay(full.toPandas())
+    oracle.assert_table_equal(table.read().toPandas(), expected)
+
+
+def test_streaming_tombstones_compaction(spark, tmp_path):
+    """Tombstone-mode table: compaction drops tombstone rows physically
+    but the visible state is unchanged."""
+    from sparkcdc.changelog import generate_changelog
+
+    t = IceboxTable.create(spark, str(tmp_path / "ts_tbl"), SCHEMA_V1, n_buckets=4)
+    log = generate_changelog(spark, 2_000, 150, seed=23, delete_pct=30)
+    t.merge(log, "b1", fence=False, tombstones=True)
+    visible = t.read().toPandas()
+    n_with_tombs = t.read(include_tombstones=True).count()
+    assert n_with_tombs > len(visible)
+    t.compact()
+    assert t.read(include_tombstones=True).count() == len(visible)
+    oracle.assert_table_equal(t.read().toPandas(), visible)
