@@ -26,6 +26,8 @@ class JobConfig:
     ts_col: str = "ts"
     n_buckets: int = 64
     dynamic_schema: bool = False  # re-infer schema per run (JiraInputPlugin.java:89-91)
+    merge_mode: str = "cow"  # "cow" (rewrite touched buckets) | "mor" (delta files)
+    compact_every: int | None = None  # mor: fold deltas every N batches
     # driver-level retry of a failed merge commit (≈ JiraInputPlugin.java:69-83)
     retry_limit: int = 5
     retry_initial_wait_sec: float = 1.0
@@ -46,6 +48,10 @@ class JobConfig:
             raise ConfigError("retry_initial_wait_sec must be greater than 0")
         if self.n_buckets <= 0:
             raise ConfigError("n_buckets must be greater than 0")
+        if self.merge_mode not in ("cow", "mor"):
+            raise ConfigError("merge_mode must be 'cow' or 'mor'")
+        if self.compact_every is not None and self.compact_every <= 0:
+            raise ConfigError("compact_every must be greater than 0")
         for c in self.columns:
             if "name" not in c or "type" not in c:
                 raise ConfigError(f"column spec needs name and type: {c}")

@@ -85,6 +85,7 @@ class CDCEngine:
                 m = self.table.merge(
                     batch, batch_id, seq_col=self.cfg.seq_col,
                     op_col=self.cfg.op_col, ts_col=self.cfg.ts_col,
+                    mor=(self.cfg.merge_mode == "mor"),
                 )
                 break
             except ConfigError:
@@ -123,8 +124,10 @@ class CDCEngine:
         plan = self.plan_batches()
         if max_batches is not None:
             plan = plan[:max_batches]
-        for lo, hi in plan:
+        for i, (lo, hi) in enumerate(plan, 1):
             self.apply_batch(lo, hi)
+            if self.cfg.compact_every and i % self.cfg.compact_every == 0:
+                self.metrics.emit({"kind": "compact", **self.table.compact()})
         return self.metrics.totals()
 
     # ---------------- preview (JiraInputPlugin.java:149-152) ----------------

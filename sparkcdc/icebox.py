@@ -211,6 +211,11 @@ class IceboxTable:
             out = out.unionByName(p)
         return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
 
+    def _resolve_lww(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read resolution: one winning row per key by max _seq
+        (tombstone rows win and are filtered by the caller)."""
+        return lww_dedup(df, key=self.key, seq=SEQ_COL)
+
     def read(
         self,
         snapshot_id: int | None = None,
@@ -218,11 +223,14 @@ class IceboxTable:
         with_seq: bool = False,
         include_tombstones: bool = False,
     ) -> DataFrame:
-        """Current (or time-travel) table state as a DataFrame."""
+        """Current (or time-travel) table state as a DataFrame. Tables with
+        delta files (merge-on-read commits) resolve LWW at read time."""
         snap = self._snap
         if snapshot_id is not None:
             snap = next(s for s in self.snapshots() if s["snapshot_id"] == snapshot_id)
         out = self._read_manifest(snap, snap["manifest"], with_seq=True)
+        if any(e.get("kind") == "delta" for e in snap["manifest"]):
+            out = self._resolve_lww(out)
         if not include_tombstones:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
@@ -259,8 +267,13 @@ class IceboxTable:
         by_bucket: dict[int, list[dict]] = {}
         for e in snap["manifest"]:
             by_bucket.setdefault(e["bucket"], []).append(e)
-        todo = sorted(b for b, es in by_bucket.items() if len(es) > 1
-                      or any(e["schema_v"] != snap["schema_version"] for e in es))
+        todo = sorted(
+            b
+            for b, es in by_bucket.items()
+            if len(es) > 1
+            or any(e["schema_v"] != snap["schema_version"] for e in es)
+            or any(e.get("kind") == "delta" for e in es)
+        )
         if drop_tombstones:
             todo = sorted(set(todo) | set(by_bucket))
         if not todo:
@@ -268,6 +281,8 @@ class IceboxTable:
 
         entries = [e for b in todo for e in by_bucket[b]]
         df = self._read_manifest(snap, entries, with_seq=True)
+        if any(e.get("kind") == "delta" for e in entries):
+            df = self._resolve_lww(df)  # fold merge-on-read deltas into base
         if drop_tombstones:
             df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         df = df.withColumn("_bucket", bucket_expr(self.key, self.n_buckets))
@@ -322,19 +337,27 @@ class IceboxTable:
         fence: bool = True,
         tombstones: bool = False,
         ts_col: str | None = None,
+        mor: bool = False,
     ) -> dict:
         """Key-partitioned MERGE of a micro-batch: last-writer-wins upsert +
-        delete, copy-on-write per touched bucket, idempotent on batch_id.
+        delete, idempotent on batch_id.
+
+        Write strategies:
+          * copy-on-write (default): touched buckets are read, merged and
+            rewritten — O(touched bucket bytes) per batch, cheapest reads.
+          * merge-on-read (``mor=True``): only the deduped batch is written,
+            as per-bucket DELTA files (deletes kept as tombstones) —
+            O(batch) per batch regardless of table size; reads resolve LWW
+            across base+deltas until ``compact()`` folds them back. The
+            right mode when batches are small relative to the table.
 
         Delivery-order contract: with ``fence=True`` (batch engine) the
         caller feeds monotone LSN ranges and events at or below the global
-        checkpoint are dropped; deletes may then be physical. With
+        checkpoint are dropped; COW deletes may then be physical. With
         ``fence=False`` + ``tombstones=True`` (streaming / unordered
         delivery) deletes persist as tombstone rows so an older update
         arriving later still loses LWW instead of resurrecting the row.
-        A table should use one mode consistently. Tombstone compaction =
-        a fence-mode merge of an empty batch rewriting touched buckets
-        (future work; tombstones are small).
+        A table should use one mode consistently.
 
         Returns a metrics dict (also recorded in the snapshot summary).
         """
@@ -380,11 +403,41 @@ class IceboxTable:
         )
         ups = ups.withColumn("_bucket", bucket_expr(key, nb))
 
-        new_manifest = [e for e in snap["manifest"] if e["bucket"] not in touched]
+        if mor:
+            new_manifest = list(snap["manifest"])  # deltas add, never replace
+        else:
+            new_manifest = [e for e in snap["manifest"] if e["bucket"] not in touched]
         files_written: list[dict] = []
         rows_out = 0
 
-        if touched:
+        if touched and mor:
+            # merge-on-read: LWW within the batch only, tombstones retained
+            # so deltas mask older base rows; the single payload shuffle is
+            # the bucket-aligned repartition (same trick as COW)
+            deduped = lww_dedup(ups.repartition(nb, F.col(key)), key=key, seq=SEQ_COL)
+            deduped = deduped.withColumn(
+                DELETED_COL, F.col("_op") == F.lit(delete_value)
+            ).drop("_op")
+            commit_dir = f"data/c{snap['snapshot_id'] + 1}"
+            out_path = os.path.join(self.path, commit_dir)
+            deduped.write.partitionBy("_bucket").mode("overwrite").parquet(out_path)
+            import pyarrow.parquet as pq
+
+            for fpath in glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet")):
+                bucket = int(fpath.split("_bucket=")[1].split(os.sep)[0])
+                nrows = pq.ParquetFile(fpath).metadata.num_rows
+                rows_out += nrows
+                files_written.append(
+                    {
+                        "path": os.path.relpath(fpath, self.path),
+                        "bucket": bucket,
+                        "schema_v": snap["schema_version"],
+                        "rows": nrows,
+                        "kind": "delta",
+                    }
+                )
+            new_manifest.extend(files_written)
+        elif touched:
             # 3. read ONLY touched buckets of the target
             tgt_entries = [e for e in snap["manifest"] if e["bucket"] in touched]
             tgt = self._read_manifest(snap, tgt_entries, with_seq=True)

@@ -143,3 +143,44 @@ def test_streaming_front_end_converges(spark, tmp_path):
     got = IceboxTable.load(spark, cfg.table_path).read().toPandas()
     oracle.assert_table_equal(got, expected)
     assert totals["applied_events"] > 0
+
+
+def test_mor_replay_matches_oracle_and_compaction(spark, tmp_path):
+    """Merge-on-read mode: delta-file commits converge to the same final
+    state as COW, with and without periodic compaction."""
+    log_path = _mk_log(spark, tmp_path, seed=31, n=6_000, docs=400, dup_pct=10,
+                       name="morlog")
+    expected = oracle.replay(spark.read.parquet(log_path).toPandas())
+
+    cfg1 = JobConfig(log_path=log_path, table_path=str(tmp_path / "mor1"),
+                     batch_size=1_500, merge_mode="mor", n_buckets=8)
+    eng1 = CDCEngine(spark, cfg1)
+    eng1.run()
+    manifest = eng1.table.snapshot["manifest"]
+    assert any(e.get("kind") == "delta" for e in manifest)
+    oracle.assert_table_equal(eng1.read_table().toPandas(), expected)
+
+    # deltas fold away after compaction, state unchanged
+    eng1.table.compact()
+    assert not any(e.get("kind") == "delta" for e in eng1.table.snapshot["manifest"])
+    oracle.assert_table_equal(eng1.read_table().toPandas(), expected)
+
+    # periodic auto-compaction path
+    cfg2 = JobConfig(log_path=log_path, table_path=str(tmp_path / "mor2"),
+                     batch_size=1_500, merge_mode="mor", compact_every=2, n_buckets=8)
+    eng2 = CDCEngine(spark, cfg2)
+    eng2.run()
+    oracle.assert_table_equal(eng2.read_table().toPandas(), expected)
+    assert any(r.get("kind") == "compact" for r in eng2.metrics.records)
+
+
+def test_mor_resume_after_kill(spark, tmp_path):
+    log_path = _mk_log(spark, tmp_path, seed=37, n=4_000, docs=300, name="morres")
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "tbl"),
+                    batch_size=1_000, merge_mode="mor", n_buckets=8)
+    CDCEngine(spark, cfg).run(max_batches=2)
+    eng = CDCEngine(spark, cfg)
+    assert eng.plan_batches() == [(2_000, 3_000), (3_000, 4_000)]
+    eng.run()
+    expected = oracle.replay(spark.read.parquet(log_path).toPandas())
+    oracle.assert_table_equal(eng.read_table().toPandas(), expected)
