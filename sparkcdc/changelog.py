@@ -121,3 +121,22 @@ def max_seq(log: DataFrame) -> int:
 def write_log_parquet(log: DataFrame, path: str, *, partitions: int | None = None) -> None:
     """Materialize a generated log as the on-disk WAL the engine tails."""
     (log.repartition(partitions) if partitions else log).write.mode("overwrite").parquet(path)
+
+
+LOG_SCHEMA_DDL_V1 = (
+    "seq bigint, op string, doc_id string, tokens array<int>, "
+    "n_tok int, source string, ts timestamp"
+)
+
+
+def read_log(spark: SparkSession, path: str, *, fmt: str = "parquet",
+             schema: str | None = None) -> DataFrame:
+    """Open a WAL directory as a DataFrame. ``parquet`` is the fast path;
+    ``json`` (JSON-lines, one event per line — the reference's native wire
+    format, client/JiraClient.java:70) needs an explicit schema so a typo'd
+    field lands as NULL instead of silently inferring a different type."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "json":
+        return spark.read.schema(schema or LOG_SCHEMA_DDL_V1).json(path)
+    raise ValueError(f"unknown log format: {fmt}")

@@ -28,6 +28,7 @@ class JobConfig:
     dynamic_schema: bool = False  # re-infer schema per run (JiraInputPlugin.java:89-91)
     merge_mode: str = "cow"  # "cow" (rewrite touched buckets) | "mor" (delta files)
     compact_every: int | None = None  # mor: fold deltas every N batches
+    log_format: str = "parquet"  # "parquet" | "json" (JSON-lines WAL)
     # driver-level retry of a failed merge commit (≈ JiraInputPlugin.java:69-83)
     retry_limit: int = 5
     retry_initial_wait_sec: float = 1.0
@@ -52,6 +53,8 @@ class JobConfig:
             raise ConfigError("merge_mode must be 'cow' or 'mor'")
         if self.compact_every is not None and self.compact_every <= 0:
             raise ConfigError("compact_every must be greater than 0")
+        if self.log_format not in ("parquet", "json"):
+            raise ConfigError("log_format must be 'parquet' or 'json'")
         for c in self.columns:
             if "name" not in c or "type" not in c:
                 raise ConfigError(f"column spec needs name and type: {c}")

@@ -41,8 +41,10 @@ class CDCEngine:
         self.spark = spark
         self.cfg = cfg.validate()
         if log_df is None:
+            from .changelog import read_log
+
             cfg.check_source()
-            log_df = spark.read.parquet(cfg.log_path)
+            log_df = read_log(spark, cfg.log_path, fmt=cfg.log_format)
         self.log = log_df
         if IceboxTable.exists(cfg.table_path):
             self.table = IceboxTable.load(spark, cfg.table_path)

@@ -184,3 +184,19 @@ def test_mor_resume_after_kill(spark, tmp_path):
     eng.run()
     expected = oracle.replay(spark.read.parquet(log_path).toPandas())
     oracle.assert_table_equal(eng.read_table().toPandas(), expected)
+
+
+def test_json_lines_wal(spark, tmp_path):
+    """JSON-lines WAL (the reference's native wire format) replays to the
+    same state as the parquet WAL."""
+    from sparkcdc.changelog import generate_changelog
+
+    log = generate_changelog(spark, 2_000, 200, seed=41)
+    jdir = str(tmp_path / "waljson")
+    log.write.json(jdir)
+    cfg = JobConfig(log_path=jdir, table_path=str(tmp_path / "tbl"),
+                    batch_size=1_000, log_format="json", n_buckets=8)
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    expected = oracle.replay(log.toPandas())
+    oracle.assert_table_equal(eng.read_table().toPandas(), expected)
