@@ -23,7 +23,10 @@ from .session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sparkcdc")
-    p.add_argument("--log", help="existing parquet change-log dir (else synthesize)")
+    p.add_argument("--log", help="existing change-log dir (else synthesize)")
+    p.add_argument("--log-format", default="parquet", choices=["parquet", "json"])
+    p.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
+    p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--table", required=True)
     p.add_argument("--events", type=int, default=100_000)
     p.add_argument("--docs", type=int, default=5_000)
@@ -51,6 +54,8 @@ def main(argv: list[str] | None = None) -> int:
     cfg = JobConfig(
         log_path=log_path, table_path=args.table,
         batch_size=args.batch_size, n_buckets=args.n_buckets,
+        log_format=args.log_format, merge_mode=args.merge_mode,
+        compact_every=args.compact_every,
     )
     engine = CDCEngine(spark, cfg)
     if args.preview:
