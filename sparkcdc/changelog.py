@@ -119,8 +119,14 @@ def max_seq(log: DataFrame) -> int:
 
 
 def write_log_parquet(log: DataFrame, path: str, *, partitions: int | None = None) -> None:
-    """Materialize a generated log as the on-disk WAL the engine tails."""
-    (log.repartition(partitions) if partitions else log).write.mode("overwrite").parquet(path)
+    """Materialize a generated log as the on-disk WAL the engine tails.
+
+    Segments are range-partitioned and sorted by ``seq`` — like a real
+    binlog/WAL — so each file covers a disjoint LSN range and a micro-batch
+    slice scan prunes whole files via parquet min/max stats instead of
+    scanning the full log."""
+    out = log.repartitionByRange(partitions, "seq") if partitions else log.repartitionByRange("seq")
+    out.sortWithinPartitions("seq").write.mode("overwrite").parquet(path)
 
 
 LOG_SCHEMA_DDL_V1 = (
