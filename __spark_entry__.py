@@ -376,6 +376,12 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10, n_planes=4)
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from sparkcdc.ann import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def q_multimodal_meta(spark, sf_dir):
     from sparkcdc.multimodal import with_binary_payload
 
@@ -429,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
@@ -671,6 +678,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
             FROM band x JOIN band y
               ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        """,
+        "dedup_embedding_cosine": f"""
+            WITH tagged AS (SELECT vec_id, embedding, {bucket_sql} AS bucket FROM embeddings),
+            a AS (SELECT vec_id AS id1, embedding::DOUBLE[] AS qv, bucket FROM tagged),
+            b AS (SELECT vec_id AS id2, embedding::DOUBLE[] AS cv, bucket FROM tagged)
+            SELECT id1, id2, {cos_sql} AS cos
+            FROM a JOIN b USING (bucket)
+            WHERE id1 < id2 AND {cos_sql} >= 0.4
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

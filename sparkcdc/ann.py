@@ -84,6 +84,29 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[int]]):
     return F.concat(*bits)
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share an LSH
+    bucket (sign-random-projection), verified by exact cosine ≥ threshold.
+    The bucket join bounds the pair space — the scale path for
+    embedding-level dedup of a training corpus."""
+    dim = len(emb.select(vec_col).first()[0])
+    bucket = lsh_bucket_expr(vec_col, lsh_planes(dim, n_planes, seed))
+    tagged = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    a = tagged.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
+    b = tagged.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
+    cand = a.join(b, "bucket").where(F.col("id1") < F.col("id2"))
+    cos = F.round(_dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6)
+    return cand.select("id1", "id2", cos.alias("cos")).where(F.col("cos") >= threshold)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     *,

@@ -144,3 +144,12 @@ def test_multimodal_pipeline(docs):
         extract_features(blobs, decode_backend="real")
     fr = frame_sample_plan(blobs.limit(3), every_n=10).collect()
     assert all(r["byte_offset"] == r["frame_idx"] * 10 for r in fr)
+
+
+def test_cosine_near_dup_pairs(emb):
+    from sparkcdc.ann import cosine_near_dup_pairs
+
+    pairs = cosine_near_dup_pairs(emb, threshold=0.3).collect()
+    assert pairs, "sf0.001 should contain cosine>=0.3 bucket-mates"
+    for p in pairs:
+        assert p["id1"] < p["id2"] and p["cos"] >= 0.3
