@@ -659,24 +659,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.6
         """,
         "dedup_minhash_lsh": shingle_cte + f""",
-            streams AS (
-                SELECT doc_id, i, shingle
-                FROM sh, (SELECT UNNEST(range(0, {MINHASH_K})) AS i)
-            ),
             sig AS (
-                SELECT doc_id, i,
-                       MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
-                FROM streams GROUP BY doc_id, i
+                SELECT doc_id,
+                       {', '.join(f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(MINHASH_K))}
+                FROM sh GROUP BY doc_id
             ),
-            band AS (
-                -- // is integer division; bare / would be float division and
-                -- DuckDB's int cast ROUNDS (Spark truncates)
-                SELECT doc_id, i // {rows_per_band} AS band,
-                       array_to_string(list_sort(list(CAST(i AS VARCHAR) || '=' || mh)), '|') AS band_key
-                FROM sig GROUP BY doc_id, i // {rows_per_band}
+            banded AS (
+                {' UNION ALL '.join(
+                    "SELECT doc_id, " + str(b) + " AS band, "
+                    + " || '|' || ".join(f"mh_{b * rows_per_band + j}" for j in range(rows_per_band))
+                    + " AS band_key FROM sig"
+                    for b in range(MINHASH_K // rows_per_band)
+                )}
             )
             SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-            FROM band x JOIN band y
+            FROM banded x JOIN banded y
               ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
         """,
         "dedup_embedding_cosine": f"""

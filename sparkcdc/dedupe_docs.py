@@ -100,16 +100,16 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(df: DataFrame, *, k: int = MINHASH_K, text_col: str = "text") -> DataFrame:
-    """(doc_id, i, mh): per-document MinHash over k md5-derived streams."""
+    """(doc_id, mh_0 … mh_{k-1}): per-document MinHash over k md5-derived
+    streams, computed as k min-aggregates in ONE pass over the shingle set
+    (no k-fold explode through the shuffle — at 100 TB the explode variant
+    moves k x the data for the same answer)."""
     sh = shingles(df, text_col)
-    streams = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-        "shingle",
-    )
-    return streams.groupBy("doc_id", "i").agg(
-        F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")))).alias("mh")
-    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -120,17 +120,21 @@ def minhash_lsh_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Distinct candidate pairs sharing at least one LSH band. The band key
-    is the concatenation of the band's minhashes — docs agreeing on a whole
-    band are likely near-duplicates (verify with ngram_jaccard_pairs)."""
+    concatenates the band's minhashes — docs agreeing on a whole band are
+    likely near-duplicates (verify with ngram_jaccard_pairs)."""
     rows = k // bands
     sig = minhash_signatures(df, k=k, text_col=text_col)
-    band = (
-        sig.withColumn("band", (F.col("i") / rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list(F.concat_ws("=", F.col("i").cast("string"), "mh")))).alias("band_key"))
+    band_cols = [
+        F.concat_ws("|", *[F.col(f"mh_{b * rows + j}") for j in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    keyed = sig.select("doc_id", *band_cols)
+    banded = keyed.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band", "band_key"),
     )
-    x = band.alias("x")
-    y = band.alias("y")
+    x = banded.alias("x")
+    y = banded.alias("y")
     return (
         x.join(
             y,
