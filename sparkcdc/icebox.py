@@ -403,6 +403,19 @@ class IceboxTable:
         )
         ups = ups.withColumn("_bucket", bucket_expr(key, nb))
 
+        # cost-based skew strategy from the probe's per-bucket histogram:
+        # balanced batches use the aligned single payload shuffle; a hot
+        # bucket (hot doc_id) instead goes through partial+final
+        # aggregation, whose map-side combine collapses the hot key inside
+        # every input partition BEFORE the shuffle (the salted-repartition
+        # effect), then only the small winner set is repartitioned to the
+        # bucket layout for the write
+        counts = [n for n, _ in touched.values()]
+        skewed = (
+            len(counts) > 1 and max(counts) > 4 * (sum(counts) / len(counts))
+        )
+        merge_plan = "skew-partial-agg" if skewed else "aligned-single-shuffle"
+
         if mor:
             new_manifest = list(snap["manifest"])  # deltas add, never replace
         else:
@@ -414,7 +427,10 @@ class IceboxTable:
             # merge-on-read: LWW within the batch only, tombstones retained
             # so deltas mask older base rows; the single payload shuffle is
             # the bucket-aligned repartition (same trick as COW)
-            deduped = lww_dedup(ups.repartition(nb, F.col(key)), key=key, seq=SEQ_COL)
+            if skewed:
+                deduped = lww_dedup(ups, key=key, seq=SEQ_COL).repartition(nb, F.col(key))
+            else:
+                deduped = lww_dedup(ups.repartition(nb, F.col(key)), key=key, seq=SEQ_COL)
             deduped = deduped.withColumn(
                 DELETED_COL, F.col("_op") == F.lit(delete_value)
             ).drop("_op")
@@ -456,8 +472,11 @@ class IceboxTable:
             #    bucket_expr == Spark's partition function, so it satisfies
             #    both the aggregation's distribution (no second exchange)
             #    and the partitionBy file layout (each task owns one bucket)
-            combined = tgt.unionByName(ups).repartition(nb, F.col(key))
-            merged = lww_dedup(combined, key=key, seq=SEQ_COL)
+            combined = tgt.unionByName(ups)
+            if skewed:
+                merged = lww_dedup(combined, key=key, seq=SEQ_COL).repartition(nb, F.col(key))
+            else:
+                merged = lww_dedup(combined.repartition(nb, F.col(key)), key=key, seq=SEQ_COL)
             if tombstones:
                 merged = merged.withColumn(
                     DELETED_COL, F.col("_op") == F.lit(delete_value)
@@ -498,6 +517,7 @@ class IceboxTable:
             "batch_id": batch_id,
             "skipped": False,
             "applied_events": sum(n for n, _ in touched.values()),
+            "merge_plan": merge_plan,
             "per_bucket_applied": {str(b): n for b, (n, _) in sorted(touched.items())},
             "touched_buckets": sorted(touched),
             "files_written": len(files_written),
