@@ -278,6 +278,19 @@ def q_cdc_replay_engine(spark, sf_dir):
 
 # ------------------------------------------------------------- coercion ops
 
+def q_t8_tumbling_window(spark, sf_dir):
+    """Tumbling event-time window aggregate (streaming-adjacent bonus op):
+    hourly event counts per type; hour rendered as string for portability."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_c1_try_casts(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return e.select(
@@ -424,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_anti_join_deleted": q_cdc_anti_join_deleted,
         "cdc_replay_engine": q_cdc_replay_engine,
+        "t8_tumbling_window": q_t8_tumbling_window,
         "c1_try_casts": q_c1_try_casts,
         "c4_timestamp_parse": q_c4_timestamp_parse,
         "c5_array_join": q_c5_array_join,
@@ -595,6 +609,11 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_engine": _FINAL_STATE_SQL + """
             SELECT doc_id, n_tok, source
             FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        "t8_tumbling_window": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "c1_try_casts": """
             SELECT event_id,
