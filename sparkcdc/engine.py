@@ -107,10 +107,15 @@ class CDCEngine:
             if mts
             else None
         )
+        per_bucket_rate = {
+            b: (n / dur if dur else 0.0)
+            for b, n in m.get("per_bucket_applied", {}).items()
+        }
         rec = {
             "kind": "batch",
             "lo": lo,
             "hi": hi,
+            "per_bucket_events_per_sec": per_bucket_rate,
             "scanned_events": hi - lo,
             "duration_sec": dur,
             # headline metric: change-events processed end-to-end per sec

@@ -190,3 +190,24 @@ def test_skew_plan_selection_and_equivalence(spark, tmp_path):
     m_flat = t2.merge(flat, "b1")
     assert m_flat["merge_plan"] == "aligned-single-shuffle"
     oracle.assert_table_equal(t2.read().toPandas(), oracle.replay(flat.toPandas()))
+
+
+def test_crash_before_commit_leaves_table_consistent(spark, table, tmp_path):
+    """Atomicity: data files written by a merge that died BEFORE its
+    snapshot commit are orphans — invisible to readers and harmless to
+    later merges (the manifest, not the filesystem, defines the table)."""
+    import os
+
+    log = generate_changelog(spark, 2_000, 150, seed=29)
+    table.merge(scan_slice(log, 0, 1_000), "b1")
+    state = table.read().toPandas()
+    # simulate a crashed merge: a full data dir for the NEXT commit id,
+    # written but never committed (no snapshot, no VERSION bump)
+    orphan_dir = os.path.join(table.path, "data", f"c{table.snapshot['snapshot_id'] + 1}")
+    scan_slice(log, 1_000, 2_000).write.mode("overwrite").parquet(orphan_dir)
+    t2 = IceboxTable.load(spark, table.path)
+    oracle.assert_table_equal(t2.read().toPandas(), state)  # orphans invisible
+    # the retried merge commits normally on top (next commit dir overwritten)
+    t2.merge(scan_slice(log, 1_000, 2_000), "b2")
+    expected = oracle.replay(log.toPandas())
+    oracle.assert_table_equal(t2.read().toPandas(), expected)
