@@ -255,6 +255,29 @@ class IceboxTable:
         }
         self._commit(snap)
 
+    def _register_files(self, out_path: str, schema_v: int, *, kind: str | None = None) -> tuple[list[dict], int]:
+        """Collect written data files into manifest entries; parquet footers
+        read concurrently (driver-side serial cost otherwise)."""
+        import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet"))
+
+        def entry(fpath: str) -> dict:
+            e = {
+                "path": os.path.relpath(fpath, self.path),
+                "bucket": int(fpath.split("_bucket=")[1].split(os.sep)[0]),
+                "schema_v": schema_v,
+                "rows": pq.ParquetFile(fpath).metadata.num_rows,
+            }
+            if kind:
+                e["kind"] = kind
+            return e
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            files = list(ex.map(entry, paths))
+        return files, sum(e["rows"] for e in files)
+
     # ---------------- maintenance ----------------
 
     def compact(self, *, drop_tombstones: bool = True) -> dict:
@@ -361,10 +384,14 @@ class IceboxTable:
 
         Returns a metrics dict (also recorded in the snapshot summary).
         """
+        import time as _time
+
         snap = self._snap
         if batch_id in snap["committed_batches"]:
             return {"batch_id": batch_id, "skipped": True, "reason": "already-committed"}
 
+        phase_t: dict[str, float] = {}
+        _t0 = _time.time()
         key, nb = self.key, self.n_buckets
         current = self.schema
         payload_cols = [f.name for f in current.fields]
@@ -388,6 +415,8 @@ class IceboxTable:
             .agg(*probe_aggs)
             .collect()
         )
+        phase_t["probe_sec"] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
         touched = {int(r["_bucket"]): (int(r["n"]), int(r["mx"])) for r in stats}
         batch_max_seq = max((mx for _, mx in touched.values()), default=fence_lsn)
         max_ts = (
@@ -437,21 +466,12 @@ class IceboxTable:
             commit_dir = f"data/c{snap['snapshot_id'] + 1}"
             out_path = os.path.join(self.path, commit_dir)
             deduped.write.partitionBy("_bucket").mode("overwrite").parquet(out_path)
-            import pyarrow.parquet as pq
-
-            for fpath in glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet")):
-                bucket = int(fpath.split("_bucket=")[1].split(os.sep)[0])
-                nrows = pq.ParquetFile(fpath).metadata.num_rows
-                rows_out += nrows
-                files_written.append(
-                    {
-                        "path": os.path.relpath(fpath, self.path),
-                        "bucket": bucket,
-                        "schema_v": snap["schema_version"],
-                        "rows": nrows,
-                        "kind": "delta",
-                    }
-                )
+            phase_t["write_sec"] = round(_time.time() - _t0, 3)
+            _t0 = _time.time()
+            files_written, rows_out = self._register_files(
+                out_path, snap["schema_version"], kind="delta"
+            )
+            phase_t["footer_sec"] = round(_time.time() - _t0, 3)
             new_manifest.extend(files_written)
         elif touched:
             # 3. read ONLY touched buckets of the target
@@ -492,20 +512,10 @@ class IceboxTable:
             commit_dir = f"data/c{snap['snapshot_id'] + 1}"
             out_path = os.path.join(self.path, commit_dir)
             merged.write.partitionBy("_bucket").mode("overwrite").parquet(out_path)
-            import pyarrow.parquet as pq
-
-            for fpath in glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet")):
-                bucket = int(fpath.split("_bucket=")[1].split(os.sep)[0])
-                nrows = pq.ParquetFile(fpath).metadata.num_rows
-                rows_out += nrows
-                files_written.append(
-                    {
-                        "path": os.path.relpath(fpath, self.path),
-                        "bucket": bucket,
-                        "schema_v": snap["schema_version"],
-                        "rows": nrows,
-                    }
-                )
+            phase_t["write_sec"] = round(_time.time() - _t0, 3)
+            _t0 = _time.time()
+            files_written, rows_out = self._register_files(out_path, snap["schema_version"])
+            phase_t["footer_sec"] = round(_time.time() - _t0, 3)
             new_manifest.extend(files_written)
 
         # 6. lineage: per-bucket + global LSN, committed atomically with data
@@ -524,6 +534,7 @@ class IceboxTable:
             "rows_written": rows_out,
             "total_rows": total_rows,
             "max_event_ts": max_ts.isoformat() if max_ts is not None else None,
+            **phase_t,
         }
         new_snap = {
             **snap,
