@@ -395,6 +395,14 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (data-dependent centroids → no SQL oracle; rows-only check;
+    recall vs brute force pinned in tests/test_dataops.py)."""
+    from sparkcdc.ann import ivf_ann_topk
+
+    return ivf_ann_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10, nprobe=2)
+
+
 def q_multimodal_meta(spark, sf_dir):
     from sparkcdc.multimodal import with_binary_payload
 
@@ -452,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }

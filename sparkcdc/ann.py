@@ -84,6 +84,94 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[int]]):
     return F.concat(*bits)
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    *,
+    n_clusters: int = 8,
+    iters: int = 5,
+    sample_n: int = 2_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic driver-side k-means on a bounded sample (numpy, seeded
+    init by hashing ids). The centroid table is tiny — at scale it ships as
+    literals/broadcast while assignment stays distributed."""
+    import numpy as np
+
+    sample = (
+        emb.orderBy(F.abs(F.xxhash64(F.col(id_col), F.lit(seed))))
+        .limit(sample_n)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[: n_clusters].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(v) for v in row] for row in cent]
+
+
+def _ivf_assign_expr(vec_col: str, centroids: list[list[float]], *, top: int = 1):
+    """Cluster ids of the `top` nearest centroids — native exprs: per-
+    centroid dot products, ranked via sorted array of (negated sim, id)."""
+    sims = F.array(*[
+        F.struct(
+            (-_dot(F.col(vec_col), F.array(*[F.lit(v) for v in row]))).alias("neg"),
+            F.lit(i).alias("cid"),
+        )
+        for i, row in enumerate(centroids)
+    ])
+    return F.slice(F.array_sort(sims), 1, top)
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    *,
+    n_queries: int = 5,
+    k: int = 10,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates are indexed by their nearest
+    centroid; each query probes its ``nprobe`` nearest clusters and ranks
+    exact cosine within them. The inverted-list join replaces the O(Q·N)
+    cross join; recall tunes with nprobe."""
+    centroids = ivf_centroids(emb, n_clusters=n_clusters, seed=seed,
+                              id_col=id_col, vec_col=vec_col)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(_ivf_assign_expr(vec_col, centroids, top=1), 1)["cid"].alias("cluster"),
+    )
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            F.transform(_ivf_assign_expr(vec_col, centroids, top=nprobe), lambda s: s["cid"])
+        ).alias("cluster"),
+    )
+    joined = c.join(F.broadcast(q), "cluster").where(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     *,

@@ -17,7 +17,6 @@ import datetime
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .changelog import max_seq, scan_slice

@@ -153,3 +153,25 @@ def test_cosine_near_dup_pairs(emb):
     assert pairs, "sf0.001 should contain cosine>=0.3 bucket-mates"
     for p in pairs:
         assert p["id1"] < p["id2"] and p["cos"] >= 0.3
+
+
+def test_ivf_ann_recall_and_determinism(emb):
+    from sparkcdc.ann import cosine_topk, ivf_ann_topk, ivf_centroids
+
+    cents = ivf_centroids(emb, n_clusters=8)
+    assert ivf_centroids(emb, n_clusters=8) == cents  # deterministic
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+    approx = ivf_ann_topk(emb, n_queries=3, k=10, nprobe=3)
+    exact = cosine_topk(emb, n_queries=3, k=10)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # approx cosines must equal the exact path's for shared pairs
+    ja = approx.alias("a").join(
+        exact.alias("x"),
+        (F.col("a.query_id") == F.col("x.query_id"))
+        & (F.col("a.neighbor_id") == F.col("x.neighbor_id")),
+    )
+    assert ja.where(F.col("a.cos") != F.col("x.cos")).count() == 0

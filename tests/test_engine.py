@@ -200,3 +200,27 @@ def test_json_lines_wal(spark, tmp_path):
     eng.run()
     expected = oracle.replay(log.toPandas())
     oracle.assert_table_equal(eng.read_table().toPandas(), expected)
+
+
+def test_streaming_late_data_across_restarts(spark, tmp_path):
+    """T5 late data: a second stream drain delivers files whose seqs are
+    LOWER than already-applied ones (late arrival). Tombstone-mode LWW
+    must converge to the full-oracle state, not resurrect or regress."""
+    from sparkcdc.streaming import run_streaming
+
+    log = generate_changelog(spark, 4_000, 300, seed=47)
+    early = log.where(F.col("seq") > 2_000)   # newer events arrive FIRST
+    late = log.where(F.col("seq") <= 2_000)   # older events arrive LATE
+    log_dir = str(tmp_path / "wal")
+    early.write.mode("append").parquet(log_dir)
+    cfg = JobConfig(log_path=log_dir, table_path=str(tmp_path / "tbl"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming(spark, cfg, checkpoint_dir=ckpt)
+    state_early = IceboxTable.load(spark, cfg.table_path).read().toPandas()
+    assert len(state_early) > 0
+    # late files land; the SAME checkpoint resumes and drains only them
+    late.write.mode("append").parquet(log_dir)
+    run_streaming(spark, cfg, checkpoint_dir=ckpt)
+    expected = oracle.replay(log.toPandas())
+    got = IceboxTable.load(spark, cfg.table_path).read().toPandas()
+    oracle.assert_table_equal(got, expected)
