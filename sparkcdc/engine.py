@@ -146,3 +146,12 @@ class CDCEngine:
 
     def read_table(self) -> DataFrame:
         return self.table.read()
+
+    # ---------------- guess (JiraInputPlugin.java:170-191) ----------------
+
+    def guess(self, sample_n: int = 50) -> list[dict]:
+        """Infer column specs from a log sample — the reference's third
+        entry point, over the flattened payload."""
+        from .schema_infer import guess_columns
+
+        return guess_columns(self.log.limit(sample_n), sample_n=sample_n)

@@ -224,3 +224,78 @@ def test_streaming_late_data_across_restarts(spark, tmp_path):
     expected = oracle.replay(log.toPandas())
     got = IceboxTable.load(spark, cfg.table_path).read().toPandas()
     oracle.assert_table_equal(got, expected)
+
+
+def test_engine_guess_entry_point(spark, tmp_path):
+    log_path = _mk_log(spark, tmp_path, seed=53, n=500, docs=50)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "t"))
+    specs = {s["name"]: s["type"] for s in CDCEngine(spark, cfg).guess()}
+    assert specs["doc_id"] == "string" and specs["op"] == "string"
+    assert specs["seq"] == "long" and specs["n_tok"] == "long"
+    # primitive arrays hit the F4 "String value" sentinel → guess string,
+    # exactly like the reference's type guesser
+    assert specs["ts"] == "timestamp" and specs["tokens"] == "string"
+
+
+def test_retry_exhaustion_and_recovery(spark, tmp_path, monkeypatch):
+    """Driver-level retry: transient merge failures are retried with
+    backoff (reference retry semantics, JiraClient.java:94-147); a
+    persistent failure surfaces after retry_limit attempts."""
+    log_path = _mk_log(spark, tmp_path, seed=59, n=1_000, docs=100)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "t"),
+                    retry_limit=2, retry_initial_wait_sec=0.01, n_buckets=4)
+    eng = CDCEngine(spark, cfg)
+    real_merge = eng.table.merge
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("transient I/O")
+        return real_merge(*a, **kw)
+
+    monkeypatch.setattr(eng.table, "merge", flaky)
+    eng.run()  # succeeds on 3rd attempt
+    assert calls["n"] == 3
+    expected = oracle.replay(spark.read.parquet(log_path).toPandas())
+    oracle.assert_table_equal(eng.read_table().toPandas(), expected)
+
+    # persistent failure exhausts retries (fresh table → work pending)
+    cfg2 = JobConfig(log_path=log_path, table_path=str(tmp_path / "t2"),
+                     retry_limit=1, retry_initial_wait_sec=0.01, n_buckets=4)
+    eng2 = CDCEngine(spark, cfg2)
+    monkeypatch.setattr(eng2.table, "merge",
+                        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("down")))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="down"):
+        eng2.run()
+
+
+def test_chaos_combined_scenario(spark, tmp_path):
+    """Everything at once: duplicates + shuffle + hot key + mid-stream
+    schema evolution + kill/resume + MOR + periodic compaction."""
+    v1 = generate_changelog(spark, 3_000, 250, seed=61, dup_pct=15,
+                            shuffled=True, hot_key_pct=40, schema_version=1)
+    v2 = generate_changelog(spark, 6_000, 250, seed=61, dup_pct=15,
+                            shuffled=True, hot_key_pct=40,
+                            schema_version=2).where(F.col("seq") > 3_000)
+    tbl = str(tmp_path / "tbl")
+    cfg = dict(log_path="unused", table_path=tbl, batch_size=1_000,
+               merge_mode="mor", compact_every=3, n_buckets=8)
+    # era 1, killed after 2 of 3 batches
+    CDCEngine(spark, JobConfig(**cfg), log_df=v1).run(max_batches=2)
+    # restart finishes era 1
+    CDCEngine(spark, JobConfig(**cfg), log_df=v1).run()
+    # era 2 evolves schema mid-stream, killed once more, restarted
+    CDCEngine(spark, JobConfig(**cfg), log_df=v2).run(max_batches=1)
+    CDCEngine(spark, JobConfig(**cfg), log_df=v2).run()
+
+    full = v1.withColumn("lang", F.lit(None).cast("string")).withColumn(
+        "n_tok", F.col("n_tok").cast("long")).unionByName(v2)
+    expected = oracle.replay(full.toPandas(),
+                             value_cols=["tokens", "n_tok", "source", "lang"])
+    eng = CDCEngine(spark, JobConfig(**cfg), log_df=v2)
+    got = eng.read_table().toPandas()
+    got["n_tok"] = got["n_tok"].astype("int64")
+    expected["n_tok"] = expected["n_tok"].astype("int64")
+    oracle.assert_table_equal(got, expected)
