@@ -64,6 +64,17 @@ def main() -> int:
     extra["cdc_replay_events"] = float(totals["scanned_events"])
     extra["events_per_sec"] = totals["scanned_events"] / timings["cdc_replay"]
 
+    # same WAL in ONE batch: peak throughput when per-batch driver costs
+    # amortize (the production large-batch regime; see BENCH/BASELINE.md)
+    cfg_big = JobConfig(log_path=log_path, table_path=os.path.join(work, "tbl_big"),
+                        batch_size=n_events, n_buckets=cpus * 2)
+    t0 = time.time()
+    totals_big = CDCEngine(spark, cfg_big).run()
+    timings["cdc_replay_large_batch"] = time.time() - t0
+    extra["events_per_sec_large_batch"] = (
+        totals_big["scanned_events"] / timings["cdc_replay_large_batch"]
+    )
+
     # ---- representative operator workloads over driver testdata
     bench_queries = {
         "lww_dedup": "t2_lww_dedup",
@@ -95,6 +106,7 @@ def main() -> int:
         "sf": sf,
         "cpus": cpus,
         "events_per_sec": round(extra["events_per_sec"], 1),
+        "events_per_sec_large_batch": round(extra["events_per_sec_large_batch"], 1),
         "replay_events": int(extra["cdc_replay_events"]),
     }
     print(json.dumps(out))
