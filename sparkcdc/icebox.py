@@ -255,6 +255,29 @@ class IceboxTable:
         }
         self._commit(snap)
 
+    def expire_snapshots(self, *, keep_last: int = 5) -> dict:
+        """Iceberg-style snapshot expiration: drop all but the newest
+        ``keep_last`` snapshots and delete data files referenced ONLY by
+        the dropped ones. Time travel remains available within the kept
+        window; the current snapshot is never dropped."""
+        snaps = self.snapshots()
+        if len(snaps) <= keep_last:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        live = {e["path"] for s in kept for e in s["manifest"]}
+        dead = {e["path"] for s in dropped for e in s["manifest"]} - live
+        for rel in dead:
+            try:
+                os.remove(os.path.join(self.path, rel))
+            except FileNotFoundError:
+                pass
+        for s in dropped:
+            try:
+                os.remove(os.path.join(self._meta_dir, f"snapshot-{s['snapshot_id']}.json"))
+            except FileNotFoundError:
+                pass
+        return {"expired_snapshots": len(dropped), "deleted_files": len(dead)}
+
     def _register_files(self, out_path: str, schema_v: int, *, kind: str | None = None) -> tuple[list[dict], int]:
         """Collect written data files into manifest entries; parquet footers
         read concurrently (driver-side serial cost otherwise)."""

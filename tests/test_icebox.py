@@ -211,3 +211,28 @@ def test_crash_before_commit_leaves_table_consistent(spark, table, tmp_path):
     t2.merge(scan_slice(log, 1_000, 2_000), "b2")
     expected = oracle.replay(log.toPandas())
     oracle.assert_table_equal(t2.read().toPandas(), expected)
+
+
+def test_expire_snapshots_keeps_window_and_reclaims_files(spark, table):
+    import glob as _glob
+    import os
+
+    log = generate_changelog(spark, 4_000, 250, seed=67)
+    for lo in range(0, 4_000, 1_000):
+        table.merge(scan_slice(log, lo, lo + 1_000), f"b{lo}")
+    state = table.read().toPandas()
+    files_before = len(_glob.glob(os.path.join(table.path, "data", "*", "_bucket=*", "*.parquet")))
+    m = table.expire_snapshots(keep_last=2)
+    assert m["expired_snapshots"] >= 3 and m["deleted_files"] > 0
+    files_after = len(_glob.glob(os.path.join(table.path, "data", "*", "_bucket=*", "*.parquet")))
+    assert files_after < files_before
+    # current state intact, time travel within the kept window works
+    oracle.assert_table_equal(table.read().toPandas(), state)
+    kept = table.snapshots()
+    assert len(kept) == 2
+    table.read(snapshot_id=kept[0]["snapshot_id"]).count()
+    # and the table keeps accepting merges afterwards
+    more = generate_changelog(spark, 5_000, 250, seed=67).where(F.col("seq") > 4_000)
+    table.merge(more, "b-after-expire")
+    expected = oracle.replay(generate_changelog(spark, 5_000, 250, seed=67).toPandas())
+    oracle.assert_table_equal(table.read().toPandas(), expected)
