@@ -236,3 +236,26 @@ def test_expire_snapshots_keeps_window_and_reclaims_files(spark, table):
     table.merge(more, "b-after-expire")
     expected = oracle.replay(generate_changelog(spark, 5_000, 250, seed=67).toPandas())
     oracle.assert_table_equal(table.read().toPandas(), expected)
+
+
+def test_single_key_update_rewrites_one_bucket_only(spark, tmp_path):
+    """Manifest-level partition pruning: updating ONE doc touches exactly
+    one bucket; every other bucket's files carry over by reference
+    (identical paths), so merge cost is O(touched bucket), not O(table)."""
+    t = IceboxTable.create(spark, str(tmp_path / "t"), SCHEMA_V1, n_buckets=16)
+    log = generate_changelog(spark, 4_000, 2_000, seed=73, delete_pct=0)
+    t.merge(log, "bootstrap")
+    before = {e["path"] for e in t.snapshot["manifest"]}
+    one = spark.createDataFrame(
+        [(5_000, "upsert", "DOC-00000042", [1, 2, 3], 3, "src0", None)],
+        "seq: long, op: string, doc_id: string, tokens: array<int>, n_tok: int, source: string, ts: timestamp",
+    )
+    m = t.merge(one, "tiny")
+    assert len(m["touched_buckets"]) == 1
+    after = {e["path"] for e in t.snapshot["manifest"]}
+    carried = before & after
+    # all but the touched bucket's file(s) are carried over untouched
+    assert len(before - carried) <= 2  # only the rewritten bucket's files left
+    assert len(after - before) >= 1    # the new bucket file(s)
+    row = t.read().where(F.col("doc_id") == "DOC-00000042").collect()[0]
+    assert row["tokens"] == [1, 2, 3] and row["n_tok"] == 3
