@@ -303,13 +303,19 @@ class IceboxTable:
 
     # ---------------- maintenance ----------------
 
-    def compact(self, *, drop_tombstones: bool = True) -> dict:
+    def compact(self, *, drop_tombstones: bool | None = None) -> dict:
         """Rewrite every bucket that has >1 file (or tombstones) into one
-        file, dropping tombstones. Metadata-only snapshot if nothing needs
-        work. Long-running CDC tables accumulate one file set per commit;
-        compaction bounds read amplification — at scale, run per-bucket on
-        a size threshold."""
+        file. Metadata-only snapshot if nothing needs work. Long-running
+        CDC tables accumulate one file set per commit; compaction bounds
+        read amplification — at scale, run per-bucket on a size threshold.
+
+        Tombstones are dropped by default ONLY for tables fed by fenced
+        (ordered) delivery: under unordered delivery a late lower-seq
+        update could resurrect a row whose tombstone was dropped, so such
+        tables keep tombstones unless explicitly overridden."""
         snap = self._snap
+        if drop_tombstones is None:
+            drop_tombstones = not snap.get("unordered_mode", False)
         by_bucket: dict[int, list[dict]] = {}
         for e in snap["manifest"]:
             by_bucket.setdefault(e["bucket"], []).append(e)
@@ -564,6 +570,9 @@ class IceboxTable:
             "snapshot_id": snap["snapshot_id"] + 1,
             "parent": snap["snapshot_id"],
             "batch_id": batch_id,
+            # a single fence-less merge marks the table as unordered-
+            # delivery forever (compaction then preserves tombstones)
+            "unordered_mode": snap.get("unordered_mode", False) or not fence,
             "committed_batches": snap["committed_batches"] + [batch_id],
             "manifest": new_manifest,
             "lineage": {

@@ -161,8 +161,9 @@ def test_compaction_preserves_state_and_bounds_files(spark, table):
 
 
 def test_streaming_tombstones_compaction(spark, tmp_path):
-    """Tombstone-mode table: compaction drops tombstone rows physically
-    but the visible state is unchanged."""
+    """Unordered-delivery table: default compaction PRESERVES tombstones
+    (a late lower-seq update must not resurrect a deleted row); explicit
+    override drops them. Visible state unchanged either way."""
     from sparkcdc.changelog import generate_changelog
 
     t = IceboxTable.create(spark, str(tmp_path / "ts_tbl"), SCHEMA_V1, n_buckets=4)
@@ -171,8 +172,22 @@ def test_streaming_tombstones_compaction(spark, tmp_path):
     visible = t.read().toPandas()
     n_with_tombs = t.read(include_tombstones=True).count()
     assert n_with_tombs > len(visible)
+    # default on an unordered table: tombstones survive compaction
     t.compact()
-    assert t.read(include_tombstones=True).count() == len(visible)
+    assert t.read(include_tombstones=True).count() == n_with_tombs
+    oracle.assert_table_equal(t.read().toPandas(), visible)
+    # a late, LOWER-seq update for a deleted doc must stay dead
+    tomb = t.read(include_tombstones=True, with_seq=True)
+    dead = tomb.where(F.col("_deleted")).select("doc_id", "_seq").first()
+    late = spark.createDataFrame(
+        [(int(dead["_seq"]) - 1, "upsert", dead["doc_id"], [9], 1, "late", None)],
+        "seq: long, op: string, doc_id: string, tokens: array<int>, n_tok: int, source: string, ts: timestamp",
+    )
+    t.merge(late, "late-echo", fence=False, tombstones=True)
+    assert t.read().where(F.col("doc_id") == dead["doc_id"]).count() == 0
+    # explicit override still drops tombstones physically
+    t.compact(drop_tombstones=True)
+    assert t.read(include_tombstones=True).count() == t.read().count()
     oracle.assert_table_equal(t.read().toPandas(), visible)
 
 
