@@ -374,7 +374,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     from sparkcdc.dedupe_docs import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    pairs = simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return pairs.select(
+        "doc1", "doc2", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -396,11 +399,16 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN (data-dependent centroids → no SQL oracle; rows-only check;
-    recall vs brute force pinned in tests/test_dataops.py)."""
-    from sparkcdc.ann import ivf_ann_topk
+    """IVF ANN with the deterministic fixed codebook, so the identical
+    centroid literals bake into the DuckDB oracle (same pattern as
+    lsh_planes). The learned k-means codebook path is recall-pinned vs
+    brute force in tests/test_dataops.py."""
+    from sparkcdc.ann import fixed_centroids, ivf_ann_topk
 
-    return ivf_ann_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10, nprobe=2)
+    return ivf_ann_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=5, k=10, nprobe=2,
+        centroids=fixed_centroids(64, 8),
+    )
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -410,9 +418,22 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    from sparkcdc.multimodal import extract_features, with_binary_payload
+    """mapInPandas decode/feature-extract, gate-canonicalized: the
+    array<float> features land as per-dim scalar columns (float32 value
+    upcast to double — the oracle replicates the float32 quantization with
+    CAST(.. AS REAL)); width/height are xxhash64-derived (Spark-only) so
+    they stay out of the oracled projection."""
+    from sparkcdc.multimodal import FEATURE_DIM, extract_features, with_binary_payload
 
-    return extract_features(with_binary_payload(_t(spark, sf_dir, "documents")))
+    feats = extract_features(with_binary_payload(_t(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[
+            F.element_at("features", i + 1).cast("double").alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
 
 
 # --------------------------------------------------------------- contract
@@ -467,8 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from sparkcdc.ann import lsh_planes
+    from sparkcdc.ann import fixed_centroids, lsh_planes
     from sparkcdc.dedupe_docs import LSH_BANDS, MINHASH_K
+    from sparkcdc.multimodal import FEATURE_DIM
     from sparkcdc.textops import BPE_RE, STOPWORDS
 
     def occ_sql(word: str) -> str:
@@ -525,6 +547,55 @@ def oracle_sql() -> dict[str, str]:
     )
 
     rows_per_band = MINHASH_K // LSH_BANDS
+
+    # SimHash replicated bit-for-bit in SQL: md5 hex digits → bit streams,
+    # ±1 accumulation per bit position, sign-pack into a signed int64
+    # (weight 2^(63-b); the b=0 sign bit becomes the -2^63 offset).
+    simhash_cte = """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        ),
+        hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+        bits AS (
+            SELECT doc_id, b.b,
+                   ((strpos('0123456789abcdef', substr(h, b.b // 4 + 1, 1)) - 1)
+                    >> (3 - b.b % 4)) & 1 AS bit
+            FROM hashed, (SELECT unnest(range(0, 64)) AS b) b
+        ),
+        acc AS (SELECT doc_id, b, SUM(2 * bit - 1) AS a FROM bits GROUP BY 1, 2),
+        sim0 AS (
+            -- CAST: SUM(BIGINT) is HUGEINT in DuckDB, and >> on HUGEINT
+            -- degrades to DOUBLE (precision loss at 2^63 scale)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN b >= 1 AND a > 0 THEN (1::BIGINT << (63 - b)) ELSE 0 END)
+                   + CASE WHEN MAX(CASE WHEN b = 0 AND a > 0 THEN 1 ELSE 0 END) = 1
+                          THEN 0 ELSE -9223372036854775808 END AS BIGINT) AS s
+            FROM acc GROUP BY doc_id
+        ),
+        sim AS (
+            SELECT d.doc_id, COALESCE(s0.s, -9223372036854775808::BIGINT) AS s
+            FROM documents d LEFT JOIN sim0 s0 USING (doc_id)
+            WHERE d.text IS NOT NULL
+        )
+    """
+
+    cents = fixed_centroids(64, 8)
+    cent_rows = ",\n                ".join(
+        f"({i}, [{','.join(f'{v:.1f}' for v in row)}]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+
+    feat_chunk = "substr(text, i.i * s + 1, s)"
+    feat_val = f"""
+        CASE WHEN length({feat_chunk}) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(CAST(
+                 list_sum([unicode(c) for c in string_split({feat_chunk}, '')])::DOUBLE
+                 / length({feat_chunk}) / 255.0 AS REAL) AS DOUBLE) END
+    """
+    feat_pivots = ",\n               ".join(
+        f"MAX(CASE WHEN i = {i} THEN fv END) AS f{i}" for i in range(FEATURE_DIM)
+    )
 
     return {
         "s1_changelog_scan": """
@@ -738,5 +809,64 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
         """,
-        # dedup_simhash / multimodal_features: non-SQL (Arrow UDF) — rows-only
+        "dedup_simhash": simhash_cte + """,
+            chunks AS (
+                SELECT doc_id, s, i.i AS chunk_idx, (s >> (16 * i.i)) & 65535 AS chunk
+                FROM sim, (SELECT unnest(range(0, 4)) AS i) i
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2,
+                       x.s AS s1, y.s AS s2
+                FROM chunks x JOIN chunks y
+                  ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk
+                 AND x.doc_id < y.doc_id
+            )
+            SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(s1, s2)) <= 8
+        """,
+        "ann_ivf_topk": f"""
+            WITH cents(cid, cv) AS (VALUES
+                {cent_rows}),
+            scored AS (
+                SELECT vec_id, cid,
+                       list_dot_product(embedding::DOUBLE[], cv) AS sim
+                FROM embeddings CROSS JOIN cents
+            ),
+            assign AS (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rk
+                FROM scored
+            ),
+            c AS (
+                SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS cv, a.cid AS cluster
+                FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id AND a.rk = 1
+            ),
+            q AS (
+                SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, a.cid AS cluster
+                FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id AND a.rk <= 2
+                WHERE e.vec_id < 5
+            ),
+            s AS (
+                SELECT query_id, neighbor_id, {cos_sql} AS cos
+                FROM q JOIN c USING (cluster) WHERE neighbor_id <> query_id
+            )
+            SELECT query_id, neighbor_id, rank, cos
+            FROM (SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+            WHERE rank <= 10
+        """,
+        "multimodal_features": f"""
+            WITH d AS (
+                SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                       greatest(length(text) // 8, 1) AS s
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, n_bytes, i.i AS i, {feat_val} AS fv
+                FROM d, (SELECT unnest(range(0, {FEATURE_DIM})) AS i) i
+            )
+            SELECT doc_id, n_bytes,
+               {feat_pivots}
+            FROM f GROUP BY doc_id, n_bytes
+        """,
     }

@@ -84,6 +84,23 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[int]]):
     return F.concat(*bits)
 
 
+def fixed_centroids(dim: int, n_clusters: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic data-independent IVF codebook: small-integer vectors
+    from md5(seed, cluster, dim) — pure Python, so the identical literals
+    can be baked into oracle SQL (same pattern as lsh_planes). The learned
+    k-means codebook (ivf_centroids) quantizes better; this one exists so
+    the IVF machinery (inverted-list join, nprobe, ranking) has an
+    exact cross-engine oracle."""
+    cent = []
+    for c in range(n_clusters):
+        row = [
+            float(hashlib.md5(f"{seed}:ivf:{c}:{d}".encode()).digest()[0] % 17 - 8)
+            for d in range(dim)
+        ]
+        cent.append(row)
+    return cent
+
+
 def ivf_centroids(
     emb: DataFrame,
     *,
@@ -142,13 +159,19 @@ def ivf_ann_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: candidates are indexed by their nearest
     centroid; each query probes its ``nprobe`` nearest clusters and ranks
     exact cosine within them. The inverted-list join replaces the O(Q·N)
-    cross join; recall tunes with nprobe."""
-    centroids = ivf_centroids(emb, n_clusters=n_clusters, seed=seed,
-                              id_col=id_col, vec_col=vec_col)
+    cross join; recall tunes with nprobe.
+
+    ``centroids=None`` learns the codebook with driver-side k-means
+    (ivf_centroids); passing an explicit codebook (e.g. fixed_centroids)
+    keeps the query data-independent for cross-engine oracles."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_clusters=n_clusters, seed=seed,
+                                  id_col=id_col, vec_col=vec_col)
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
