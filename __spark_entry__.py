@@ -320,6 +320,22 @@ def q_c5_array_join(spark, sf_dir):
     )
 
 
+def q_c6_json_coerce(spark, sf_dir):
+    """C6 object→JSON-text + C7 json-column emit (coerce.py paths) against
+    DuckDB's to_json over the same reconstructed object."""
+    from sparkcdc.coerce import coerce_json, coerce_string
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k long").alias("obj")
+    )
+    dt = e.schema["obj"].dataType
+    return e.select(
+        "event_id",
+        coerce_string(F.col("obj"), dt).alias("obj_str"),
+        coerce_json(F.col("obj"), dt).alias("obj_json"),
+    )
+
+
 # ------------------------------------------------------ training-data ops
 
 def q_text_token_counts(spark, sf_dir):
@@ -365,6 +381,24 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def q_dedup_ngram_jaccard_capped(spark, sf_dir):
+    """Jaccard with the shingle document-frequency cap engaged — the skew
+    guard for corpora where stock phrases explode the shingle self-join."""
+    from sparkcdc.dedupe_docs import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, df_cap=3
+    )
+
+
+def q_dedup_lsh_verified(spark, sf_dir):
+    """The 100 TB near-dup path: LSH band candidates → exact Jaccard verify
+    on candidate pairs only."""
+    from sparkcdc.dedupe_docs import lsh_verified_pairs
+
+    return lsh_verified_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     from sparkcdc.dedupe_docs import minhash_lsh_pairs
 
@@ -389,13 +423,17 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     from sparkcdc.ann import lsh_ann_topk
 
-    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=10, n_planes=4)
+    return lsh_ann_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=5, k=10, n_planes=6, n_bands=2
+    )
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
     from sparkcdc.ann import cosine_near_dup_pairs
 
-    return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return cosine_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=6, n_bands=2
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -470,12 +508,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_try_casts": q_c1_try_casts,
         "c4_timestamp_parse": q_c4_timestamp_parse,
         "c5_array_join": q_c5_array_join,
+        "c6_json_coerce": q_c6_json_coerce,
         "text_token_counts": q_text_token_counts,
         "text_lang_guess": q_text_lang_guess,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -532,14 +573,21 @@ def oracle_sql() -> dict[str, str]:
         )
     """
 
-    planes = lsh_planes(64, 4)
-    plane_lits = [
-        "[" + ",".join(f"{v}.0" for v in row) + "]::DOUBLE[]" for row in planes
-    ]
-    bucket_sql = "(" + " || ".join(
-        f"CASE WHEN list_dot_product(embedding::DOUBLE[], {p}) >= 0 THEN '1' ELSE '0' END"
-        for p in plane_lits
-    ) + ")"
+    from sparkcdc.ann import band_seed
+
+    def bucket_sql_for(planes: list[list[int]]) -> str:
+        lits = ["[" + ",".join(f"{v}.0" for v in row) + "]::DOUBLE[]" for row in planes]
+        return "(" + " || ".join(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {p}) >= 0 THEN '1' ELSE '0' END"
+            for p in lits
+        ) + ")"
+
+    # multi-band tagging (2 bands x 6 planes — must mirror the gate query args)
+    band_buckets = [bucket_sql_for(lsh_planes(64, 6, band_seed(42, b))) for b in range(2)]
+    tagged_sql = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {bs} AS bucket FROM embeddings"
+        for b, bs in enumerate(band_buckets)
+    )
 
     cos_sql = (
         "ROUND(list_dot_product(qv, cv) / "
@@ -715,6 +763,12 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(string_split(text, ' '), 1, 5), ',') AS first5
             FROM documents
         """,
+        "c6_json_coerce": """
+            SELECT event_id,
+                   to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS obj_str,
+                   to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS obj_json
+            FROM events
+        """,
         "text_token_counts": f"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
@@ -757,6 +811,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cb ON cb.doc_id = doc2
             WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.6
         """,
+        "dedup_ngram_jaccard_capped": shingle_cte + """,
+            freq AS (SELECT shingle, lang, COUNT(*) AS df FROM sh GROUP BY 1, 2),
+            shc AS (
+                SELECT sh.* FROM sh JOIN freq USING (shingle, lang) WHERE freq.df <= 3
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+                FROM shc a JOIN shc b
+                  ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc1, doc2,
+                   n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc1
+            JOIN cnt cb ON cb.doc_id = doc2
+            WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+        """,
+        "dedup_lsh_verified": shingle_cte + f""",
+            sig AS (
+                SELECT doc_id,
+                       {', '.join(f"MIN(md5('{i}:' || shingle)) AS mh_{i}" for i in range(MINHASH_K))}
+                FROM sh GROUP BY doc_id
+            ),
+            banded AS (
+                {' UNION ALL '.join(
+                    "SELECT doc_id, " + str(b) + " AS band, "
+                    + " || '|' || ".join(f"mh_{b * rows_per_band + j}" for j in range(rows_per_band))
+                    + " AS band_key FROM sig"
+                    for b in range(MINHASH_K // rows_per_band)
+                )}
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+                FROM banded x JOIN banded y
+                  ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.doc1, c.doc2, COUNT(*) AS n_common
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.doc1
+                JOIN sh b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            )
+            SELECT doc1, doc2,
+                   n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = doc1
+            JOIN cnt cb ON cb.doc_id = doc2
+            WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.6
+        """,
         "dedup_minhash_lsh": shingle_cte + f""",
             sig AS (
                 SELECT doc_id,
@@ -776,12 +883,20 @@ def oracle_sql() -> dict[str, str]:
               ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
         """,
         "dedup_embedding_cosine": f"""
-            WITH tagged AS (SELECT vec_id, embedding, {bucket_sql} AS bucket FROM embeddings),
-            a AS (SELECT vec_id AS id1, embedding::DOUBLE[] AS qv, bucket FROM tagged),
-            b AS (SELECT vec_id AS id2, embedding::DOUBLE[] AS cv, bucket FROM tagged)
+            WITH tagged AS ({tagged_sql}),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+                FROM tagged a JOIN tagged b USING (band, bucket)
+                WHERE a.vec_id < b.vec_id
+            ),
+            p AS (
+                SELECT id1, id2, e1.embedding::DOUBLE[] AS qv, e2.embedding::DOUBLE[] AS cv
+                FROM cand
+                JOIN embeddings e1 ON e1.vec_id = id1
+                JOIN embeddings e2 ON e2.vec_id = id2
+            )
             SELECT id1, id2, {cos_sql} AS cos
-            FROM a JOIN b USING (bucket)
-            WHERE id1 < id2 AND {cos_sql} >= 0.4
+            FROM p WHERE {cos_sql} >= 0.4
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -795,12 +910,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 10
         """,
         "ann_lsh_topk": f"""
-            WITH tagged AS (SELECT vec_id, embedding, {bucket_sql} AS bucket FROM embeddings),
-            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket
-                  FROM tagged WHERE vec_id < 5),
-            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, bucket FROM tagged),
-            s AS (SELECT query_id, neighbor_id, {cos_sql} AS cos
-                  FROM q JOIN c USING (bucket) WHERE neighbor_id <> query_id)
+            WITH tagged AS ({tagged_sql}),
+            q AS (SELECT vec_id AS query_id, band, bucket FROM tagged WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, band, bucket FROM tagged),
+            cand AS (
+                SELECT DISTINCT query_id, neighbor_id
+                FROM q JOIN c USING (band, bucket) WHERE neighbor_id <> query_id
+            ),
+            s AS (
+                SELECT query_id, neighbor_id, {cos_sql} AS cos
+                FROM cand
+                JOIN (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings) eq
+                  ON eq.vec_id = query_id
+                JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) ec
+                  ON ec.vec_id = neighbor_id
+            )
             SELECT query_id, neighbor_id, rank, cos
             FROM (SELECT *, ROW_NUMBER() OVER
                     (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)

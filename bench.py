@@ -61,8 +61,8 @@ def main() -> int:
     eng = CDCEngine(spark, cfg)
     totals = eng.run()
     timings["cdc_replay"] = time.time() - t0
-    extra["cdc_replay_events"] = float(totals["scanned_events"])
-    extra["events_per_sec"] = totals["scanned_events"] / timings["cdc_replay"]
+    extra["cdc_replay_events"] = float(totals["applied_events"])
+    extra["events_per_sec"] = totals["applied_events"] / timings["cdc_replay"]
 
     # same WAL in ONE batch: peak throughput when per-batch driver costs
     # amortize (the production large-batch regime; see BENCH/BASELINE.md)
@@ -72,7 +72,7 @@ def main() -> int:
     totals_big = CDCEngine(spark, cfg_big).run()
     timings["cdc_replay_large_batch"] = time.time() - t0
     extra["events_per_sec_large_batch"] = (
-        totals_big["scanned_events"] / timings["cdc_replay_large_batch"]
+        totals_big["applied_events"] / timings["cdc_replay_large_batch"]
     )
 
     # ---- representative operator workloads over driver testdata

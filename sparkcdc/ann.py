@@ -195,27 +195,81 @@ def ivf_ann_topk(
     )
 
 
+def band_seed(seed: int, band: int) -> int:
+    """Per-band plane seed — pure function so oracle SQL can bake the same
+    planes per band."""
+    return seed + 1000 * band
+
+
+def _band_tagged(
+    emb: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_bands: int,
+    seed: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """(id, band, bucket): one row per (vector, band). Bands use
+    independent hyperplane sets — candidates are OR-ed across bands
+    (recall amplification: P(candidate) = 1-(1-p^planes)^bands). A
+    ``max_bucket`` cap drops oversized buckets (hot-region skew guard:
+    a bucket holding b vectors costs O(b²) in the pair join)."""
+    bucket_cols = [
+        lsh_bucket_expr(vec_col, lsh_planes(dim, n_planes, band_seed(seed, b)))
+        for b in range(n_bands)
+    ]
+    tagged = emb.select(
+        F.col(id_col),
+        F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
+    )
+    if max_bucket is not None:
+        sizes = tagged.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+        tagged = tagged.join(
+            sizes.where(F.col("_n") <= max_bucket).select("band", "bucket"),
+            ["band", "bucket"],
+        )
+    return tagged
+
+
 def cosine_near_dup_pairs(
     emb: DataFrame,
     *,
     threshold: float = 0.9,
-    n_planes: int = 4,
+    n_planes: int = 8,
+    n_bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share an LSH
-    bucket (sign-random-projection), verified by exact cosine ≥ threshold.
-    The bucket join bounds the pair space — the scale path for
-    embedding-level dedup of a training corpus."""
+    bucket in at least one band (sign-random-projection, OR-ed bands),
+    verified by exact cosine ≥ threshold. Candidate pairs are deduped
+    BEFORE the cosine so each pair is verified once; the bucket join (not
+    an all-pairs cross) is the scale path for embedding-level dedup. At
+    10⁹ vectors size n_planes so buckets stay executor-sized (2^planes
+    buckets/band) and set max_bucket as the skew backstop."""
     dim = len(emb.select(vec_col).first()[0])
-    bucket = lsh_bucket_expr(vec_col, lsh_planes(dim, n_planes, seed))
-    tagged = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
-    a = tagged.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), "bucket")
-    b = tagged.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), "bucket")
-    cand = a.join(b, "bucket").where(F.col("id1") < F.col("id2"))
+    tagged = _band_tagged(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, n_bands=n_bands, seed=seed, max_bucket=max_bucket,
+    )
+    a = tagged.select(F.col(id_col).alias("id1"), "band", "bucket")
+    b = tagged.select(F.col(id_col).alias("id2"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    v1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    v2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    pairs = cand.join(v1, "id1").join(v2, "id2")
     cos = F.round(_dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6)
-    return cand.select("id1", "id2", cos.alias("cos")).where(F.col("cos") >= threshold)
+    return pairs.select("id1", "id2", cos.alias("cos")).where(F.col("cos") >= threshold)
 
 
 def lsh_ann_topk(
@@ -223,22 +277,35 @@ def lsh_ann_topk(
     *,
     n_queries: int = 5,
     k: int = 10,
-    n_planes: int = 4,
+    n_planes: int = 8,
+    n_bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine restricted to candidates in the same
-    sign-random-projection bucket as the query. Recall < 1 by design; at
-    scale the bucket join replaces the O(Q·N) cross join."""
+    """Approximate top-k: exact cosine restricted to candidates sharing a
+    sign-random-projection bucket with the query in ANY band (OR-ed bands
+    raise recall; per-band plane count bounds bucket size). Recall < 1 by
+    design; the bucket join replaces the O(Q·N) cross join at scale."""
     dim = len(emb.select(vec_col).first()[0])
-    bucket = lsh_bucket_expr(vec_col, lsh_planes(dim, n_planes, seed))
-    tagged = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
-    q = tagged.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+    tagged = _band_tagged(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_planes=n_planes, n_bands=n_bands, seed=seed, max_bucket=max_bucket,
     )
-    c = tagged.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket")
-    joined = c.join(F.broadcast(q), "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    q = tagged.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), "band", "bucket"
+    )
+    c = tagged.select(F.col(id_col).alias("neighbor_id"), "band", "bucket")
+    cand = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    joined = cand.join(F.broadcast(qv.where(F.col("query_id") < n_queries)), "query_id").join(cv, "neighbor_id")
     cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

@@ -118,6 +118,45 @@ def max_seq(log: DataFrame) -> int:
     return int(row["m"]) if row["m"] is not None else 0
 
 
+def max_seq_parquet_stats(path: str) -> int | None:
+    """Max LSN from parquet footer min/max statistics — no Spark job, no
+    data scan. A WAL directory holds O(files) footers; reading them
+    (threaded) is microseconds per file vs a full-column scan per run,
+    and is independent of cluster size (it is driver work either way).
+    Returns None when stats are unavailable (caller falls back to a scan)."""
+    import glob as _glob
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(_os.path.join(path, "*.parquet"))
+    if not files:
+        return None
+
+    def fmax(fpath: str) -> int | None:
+        md = pq.ParquetFile(fpath).metadata
+        col_idx = next(
+            (j for j in range(md.num_columns) if md.schema.column(j).name == "seq"),
+            None,
+        )
+        if col_idx is None:
+            return None
+        mx: int | None = None
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+        return mx
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        vals = list(ex.map(fmax, files))
+    if any(v is None for v in vals):
+        return None
+    return max(vals)
+
+
 def write_log_parquet(log: DataFrame, path: str, *, partitions: int | None = None) -> None:
     """Materialize a generated log as the on-disk WAL the engine tails.
 

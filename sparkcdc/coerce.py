@@ -35,21 +35,25 @@ from pyspark.sql.functions import pandas_udf
 
 DEFAULT_STRFTIME = "%Y-%m-%dT%H:%M:%S.%L%z"
 
-# Ruby/C strftime directive → java.time DateTimeFormatter pattern
+# Ruby/C strftime directive → java.time DateTimeFormatter pattern.
+# `%s` (epoch seconds) has no java.time pattern — coerce_timestamp handles
+# a whole-pattern "%s" via timestamp_seconds; anywhere else it raises.
 _STRFTIME_MAP = {
-    "Y": "yyyy", "y": "yy", "C": "", "m": "MM", "d": "dd", "e": "d",
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
     "j": "DDD", "H": "HH", "k": "H", "I": "hh", "l": "h", "M": "mm",
     "S": "ss", "L": "SSS", "N": "SSSSSSSSS", "z": "XX", "Z": "zzz",
     "A": "EEEE", "a": "EEE", "B": "MMMM", "b": "MMM", "h": "MMM",
     "p": "a", "P": "a", "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm",
-    "s": "", "%": "%",
+    "%": "%",
 }
 _JAVA_LETTERS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 def strftime_to_java(pattern: str) -> str:
     """Translate a Ruby-strftime pattern (the reference's `format` column
-    option, README.md:40-46) to a java.time pattern for to_timestamp."""
+    option, README.md:40-46) to a java.time pattern for to_timestamp.
+    Untranslatable directives (%s, %C, %U, …) raise instead of silently
+    emitting a wrong pattern that would parse everything to NULL."""
     out: list[str] = []
     i = 0
     while i < len(pattern):
@@ -60,8 +64,10 @@ def strftime_to_java(pattern: str) -> str:
                 out.append(_STRFTIME_MAP[d] if d != "%" else "'%'")
                 i += 2
                 continue
-            i += 1
-            continue
+            raise ValueError(
+                f"unsupported strftime directive %{d} in format {pattern!r}"
+                + (" (use a whole-pattern '%s' for epoch seconds)" if d == "s" else "")
+            )
         if ch in _JAVA_LETTERS:
             out.append(f"'{ch}'")
         elif ch == "'":
@@ -134,9 +140,15 @@ def coerce_string(col: Column, dt: T.DataType) -> Column:
 
 
 def coerce_timestamp(col: Column, dt: T.DataType, fmt: str | None = None) -> Column:
-    java_fmt = strftime_to_java(fmt or DEFAULT_STRFTIME)
+    fmt = fmt or DEFAULT_STRFTIME
     if _is(dt, (T.TimestampType,)):
         return col
+    if fmt.strip() == "%s":
+        # epoch seconds: strict integer parse (try_cast), null-on-error
+        if _is(dt, T.StringType) or _numeric(dt):
+            return F.timestamp_seconds(col.cast("string").try_cast("long"))
+        return F.lit(None).cast("timestamp")
+    java_fmt = strftime_to_java(fmt)
     if _is(dt, T.StringType) or _numeric(dt) or _is(dt, T.BooleanType):
         return F.try_to_timestamp(col.cast("string"), F.lit(java_fmt))
     return F.lit(None).cast("timestamp")

@@ -64,10 +64,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     block_col: str = "lang",
     text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs with exact n-gram Jaccard ≥ threshold,
-    blocked on ``block_col`` to bound the self-join."""
+    blocked on ``block_col`` to bound the self-join.
+
+    ``df_cap``: drop shingles occurring in more than ``df_cap`` documents
+    (within a block) BEFORE the self-join — the skew guard for corpora
+    where a stock phrase appears in every document and would explode the
+    join to O(n²) on that key. The cap is applied consistently to both
+    the per-doc shingle counts and the intersection, so the result is the
+    exact Jaccard over the capped shingle sets. For the 100 TB path
+    prefer lsh_verified_pairs (candidates bounded by LSH bands)."""
     sh = shingles(df, text_col).join(df.select("doc_id", block_col), "doc_id")
+    if df_cap is not None:
+        freq = sh.groupBy("shingle", block_col).agg(F.count("*").alias("_df"))
+        sh = sh.join(
+            freq.where(F.col("_df") <= df_cap).select("shingle", block_col),
+            ["shingle", block_col],
+        )
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -144,6 +159,45 @@ def minhash_lsh_pairs(
         )
         .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
         .distinct()
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """The 100 TB near-dup path: LSH band candidates → exact Jaccard
+    verification computed ONLY on candidate pairs. The shingle self-join of
+    ngram_jaccard_pairs touches O(sum over shingles of df²) rows; here the
+    intersection join is restricted to the candidate pair set, which LSH
+    banding bounds regardless of corpus-wide shingle frequencies."""
+    cand = minhash_lsh_pairs(df, k=k, bands=bands, text_col=text_col)
+    sh = shingles(df, text_col)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
+        .join(sh.select(F.col("doc_id").alias("doc2"), "shingle"), ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("doc1") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            (
+                F.col("n_common")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 

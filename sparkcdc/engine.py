@@ -27,6 +27,51 @@ from .schema_infer import detect_evolution
 
 PREVIEW_RECORDS_COUNT = 10  # Constant.java:8
 
+# java exception classes that signal a deterministic (non-retryable) failure
+_NON_RETRYABLE_JAVA = (
+    "AnalysisException",
+    "IllegalArgumentException",
+    "ParseException",
+    "NumberFormatException",
+)
+
+
+def is_retryable(exc: BaseException) -> bool:
+    """Retry classifier with the reference's semantics
+    (client/JiraClient.java:100-147, tests client/JiraClientTest.java:143-192):
+    deterministic errors — the 4xx analog: bad config, bad plan, bad
+    arguments — fail fast without burning the retry budget; transient ones —
+    the IOException / 5xx / 429 / 408 analog: lost executors, network,
+    shuffle-fetch failures — retry with exponential backoff."""
+    from pyspark.errors import (
+        AnalysisException,
+        IllegalArgumentException,
+        ParseException,
+    )
+
+    if isinstance(
+        exc,
+        (
+            ConfigError,
+            AnalysisException,
+            IllegalArgumentException,
+            ParseException,
+            ValueError,
+            TypeError,
+            KeyError,
+        ),
+    ):
+        return False
+    try:
+        from py4j.protocol import Py4JJavaError
+
+        if isinstance(exc, Py4JJavaError):
+            jcls = str(exc.java_exception.getClass().getName())
+            return not any(name in jcls for name in _NON_RETRYABLE_JAVA)
+    except Exception:  # pragma: no cover - py4j internals unavailable
+        pass
+    return True  # unknown / IO / network → transient, retry
+
 
 def default_table_schema(log_schema: T.StructType, cfg: JobConfig) -> T.StructType:
     """Target schema = log payload columns (everything but op/seq/ts)."""
@@ -39,11 +84,13 @@ class CDCEngine:
     def __init__(self, spark: SparkSession, cfg: JobConfig, log_df: DataFrame | None = None):
         self.spark = spark
         self.cfg = cfg.validate()
+        self._log_is_parquet_wal = False
         if log_df is None:
             from .changelog import read_log
 
             cfg.check_source()
             log_df = read_log(spark, cfg.log_path, fmt=cfg.log_format)
+            self._log_is_parquet_wal = cfg.log_format == "parquet"
         self.log = log_df
         if IceboxTable.exists(cfg.table_path):
             self.table = IceboxTable.load(spark, cfg.table_path)
@@ -58,13 +105,50 @@ class CDCEngine:
 
     def plan_batches(self) -> list[tuple[int, int]]:
         """LSN ranges still to apply — the ceil(total/page_size) analog
-        (util/JiraUtil.java:43-46), resumed from the checkpoint."""
+        (util/JiraUtil.java:43-46), resumed from the checkpoint. For a
+        parquet WAL the high-water LSN comes from footer statistics (no
+        scan, no Spark job — a fixed driver cost per run instead of a
+        full-column scan that grows with the log)."""
         last = int(self.table.lineage["last_applied_lsn"])
-        hi = max_seq(self.log)
+        hi = None
+        if self._log_is_parquet_wal:
+            from .changelog import max_seq_parquet_stats
+
+            hi = max_seq_parquet_stats(self.cfg.log_path)
+        if hi is None:
+            hi = max_seq(self.log)
         b = self.cfg.batch_size
         return [(lo, min(lo + b, hi)) for lo in range(last, hi, b)]
 
     # ---------------- evolution ----------------
+
+    def _dynamic_reguess(self) -> list[str]:
+        """``dynamic_schema``: re-guess the column set at the START of every
+        run and commit it as a schema update — the reference's per-run
+        re-guess (JiraInputPlugin.java:89-91,108-123). An empty dataset (or
+        a guess that produces nothing) keeps the previous schema, mirroring
+        the reference's empty-dataset tolerance. The guess can upgrade a
+        string column whose sampled values all match a timestamp format."""
+        from .schema_infer import GUESS_RECORDS_COUNT, guess_columns
+
+        specs = guess_columns(self.log.limit(GUESS_RECORDS_COUNT))
+        sys_cols = {self.cfg.seq_col, self.cfg.op_col, self.cfg.ts_col}
+        by_name = {f.name: f for f in self.log.schema.fields}
+        fields = []
+        for s in specs:
+            f = by_name.get(s["name"])
+            if f is None or f.name in sys_cols:
+                continue
+            if s["type"] == "timestamp" and isinstance(f.dataType, T.StringType):
+                fields.append(T.StructField(f.name, T.TimestampType(), True))
+            else:
+                fields.append(T.StructField(f.name, f.dataType, True))
+        if not fields:
+            return []
+        evolved, changes = detect_evolution(self.table.schema, T.StructType(fields))
+        if evolved is not None:
+            self.table.update_schema(evolved)
+        return changes
 
     def _maybe_evolve(self, batch: DataFrame) -> list[str]:
         ignore = {self.cfg.seq_col, self.cfg.op_col, self.cfg.ts_col}
@@ -89,9 +173,9 @@ class CDCEngine:
                     mor=(self.cfg.merge_mode == "mor"),
                 )
                 break
-            except ConfigError:
-                raise  # non-retryable, like non-retryable HTTP 4xx (JiraClient.java:128-147)
-            except Exception:
+            except Exception as exc:
+                if not is_retryable(exc):
+                    raise  # deterministic, like non-retryable HTTP 4xx (JiraClient.java:128-147)
                 attempt += 1
                 if attempt > self.cfg.retry_limit:
                     raise
@@ -115,11 +199,14 @@ class CDCEngine:
             "lo": lo,
             "hi": hi,
             "per_bucket_events_per_sec": per_bucket_rate,
-            "scanned_events": hi - lo,
+            # range width is planning info; the headline denominator is the
+            # probe's actual pre-dedup row count (applied_events) so dup
+            # delivery / gaps / re-fenced replays can't skew the rate
+            "range_width": hi - lo,
             "duration_sec": dur,
             # headline metric: change-events processed end-to-end per sec
-            "events_per_sec": ((hi - lo) / dur) if dur else 0.0,
-            "applied_per_sec": (m.get("applied_events", 0) / dur) if dur else 0.0,
+            "events_per_sec": (m.get("applied_events", 0) / dur) if dur else 0.0,
+            "range_per_sec": ((hi - lo) / dur) if dur else 0.0,
             "watermark_lag_sec": lag,
             **m,
         }
@@ -127,6 +214,10 @@ class CDCEngine:
 
     def run(self, max_batches: int | None = None) -> dict:
         """Apply all pending ranges (resumable at any point)."""
+        if self.cfg.dynamic_schema:
+            changes = self._dynamic_reguess()
+            if changes:
+                self.metrics.emit({"kind": "dynamic-schema", "changes": changes})
         plan = self.plan_batches()
         if max_batches is not None:
             plan = plan[:max_batches]

@@ -45,6 +45,14 @@ from .dedup import lww_dedup
 SEQ_COL = "_seq"  # system column: last-writer LSN per row
 DELETED_COL = "_deleted"  # system column: tombstone marker
 
+# Idempotency-fence window: batch ids older than this many commits are
+# dropped from the snapshot (bounds metadata growth on long-running
+# tables — otherwise every commit rewrites an ever-growing list). An
+# evicted batch re-submitted in fenced mode is still harmless: the LSN
+# fence drops all its events, so the re-commit is an empty no-op merge;
+# streaming replays only touch the most recent epochs (checkpoint).
+MAX_FENCE_IDS = 10_000
+
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
     """Bucket id = Spark's own shuffle-partition function
@@ -227,7 +235,15 @@ class IceboxTable:
         delta files (merge-on-read commits) resolve LWW at read time."""
         snap = self._snap
         if snapshot_id is not None:
-            snap = next(s for s in self.snapshots() if s["snapshot_id"] == snapshot_id)
+            snap = next(
+                (s for s in self.snapshots() if s["snapshot_id"] == snapshot_id), None
+            )
+            if snap is None:
+                avail = [s["snapshot_id"] for s in self.snapshots()]
+                raise ValueError(
+                    f"snapshot {snapshot_id} not found (expired?); "
+                    f"available snapshots: {avail}"
+                )
         out = self._read_manifest(snap, snap["manifest"], with_seq=True)
         if any(e.get("kind") == "delta" for e in snap["manifest"]):
             out = self._resolve_lww(out)
@@ -255,15 +271,22 @@ class IceboxTable:
         }
         self._commit(snap)
 
-    def expire_snapshots(self, *, keep_last: int = 5) -> dict:
+    def expire_snapshots(self, *, keep_last: int = 5, sweep_orphans: bool = False) -> dict:
         """Iceberg-style snapshot expiration: drop all but the newest
         ``keep_last`` snapshots and delete data files referenced ONLY by
         the dropped ones. Time travel remains available within the kept
-        window; the current snapshot is never dropped."""
+        window; the current snapshot is never dropped.
+
+        ``sweep_orphans=True`` additionally removes data files referenced
+        by NO kept snapshot at all — debris from merges that wrote files
+        but crashed before committing. Only safe when no merge is in
+        flight on this table (single-writer maintenance window)."""
         snaps = self.snapshots()
+        orphans = 0
         if len(snaps) <= keep_last:
-            return {"expired_snapshots": 0, "deleted_files": 0}
-        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+            kept, dropped = snaps, []
+        else:
+            kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
         live = {e["path"] for s in kept for e in s["manifest"]}
         dead = {e["path"] for s in dropped for e in s["manifest"]} - live
         for rel in dead:
@@ -276,22 +299,68 @@ class IceboxTable:
                 os.remove(os.path.join(self._meta_dir, f"snapshot-{s['snapshot_id']}.json"))
             except FileNotFoundError:
                 pass
-        return {"expired_snapshots": len(dropped), "deleted_files": len(dead)}
+        if sweep_orphans:
+            for fpath in glob.glob(os.path.join(self.path, "data", "c*", "**", "*.parquet"),
+                                   recursive=True):
+                if os.path.relpath(fpath, self.path) not in live:
+                    try:
+                        os.remove(fpath)
+                        orphans += 1
+                    except FileNotFoundError:
+                        pass
+            for d in glob.glob(os.path.join(self.path, "data", "c*", "_bucket=*")):
+                if not os.listdir(d):
+                    os.rmdir(d)
+            for d in glob.glob(os.path.join(self.path, "data", "c*")):
+                entries = [p for p in os.listdir(d) if not p.startswith("_SUCCESS")]
+                if not entries:
+                    import shutil
+
+                    shutil.rmtree(d, ignore_errors=True)
+        return {
+            "expired_snapshots": len(dropped),
+            "deleted_files": len(dead),
+            "orphan_files_swept": orphans,
+        }
+
+    @staticmethod
+    def _has_tombstones(md) -> bool:
+        """True if the file can contain _deleted=True rows, from the footer
+        column statistics already in hand (no data read). Missing stats →
+        conservatively True."""
+        col_idx = next(
+            (j for j in range(md.num_columns)
+             if md.schema.column(j).name == DELETED_COL),
+            None,
+        )
+        if col_idx is None:
+            return False  # no _deleted column at all
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                return True
+            if st.max:
+                return True
+        return False
 
     def _register_files(self, out_path: str, schema_v: int, *, kind: str | None = None) -> tuple[list[dict], int]:
         """Collect written data files into manifest entries; parquet footers
-        read concurrently (driver-side serial cost otherwise)."""
+        read concurrently (driver-side serial cost otherwise). Each entry
+        records whether the file holds tombstone rows so compaction can
+        skip tombstone-free buckets (footer stats, no extra IO)."""
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
         paths = glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet"))
 
         def entry(fpath: str) -> dict:
+            md = pq.ParquetFile(fpath).metadata
             e = {
                 "path": os.path.relpath(fpath, self.path),
                 "bucket": int(fpath.split("_bucket=")[1].split(os.sep)[0]),
                 "schema_v": schema_v,
-                "rows": pq.ParquetFile(fpath).metadata.num_rows,
+                "rows": md.num_rows,
+                "tombstones": self._has_tombstones(md),
             }
             if kind:
                 e["kind"] = kind
@@ -327,7 +396,18 @@ class IceboxTable:
             or any(e.get("kind") == "delta" for e in es)
         )
         if drop_tombstones:
-            todo = sorted(set(todo) | set(by_bucket))
+            # only buckets that can actually hold tombstone rows (per-entry
+            # footer-stats flag; entries from legacy manifests without the
+            # flag are treated conservatively) — a tombstone-free table
+            # compacts in O(multi-file buckets), not O(table)
+            todo = sorted(
+                set(todo)
+                | {
+                    b
+                    for b, es in by_bucket.items()
+                    if any(e.get("tombstones", True) for e in es)
+                }
+            )
         if not todo:
             return {"compacted_buckets": 0, "files_before": len(snap["manifest"])}
 
@@ -346,19 +426,9 @@ class IceboxTable:
             .mode("overwrite")
             .parquet(out_path)
         )
-        import pyarrow.parquet as pq
-
         new_manifest = [e for e in snap["manifest"] if e["bucket"] not in set(todo)]
-        for fpath in glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet")):
-            bucket = int(fpath.split("_bucket=")[1].split(os.sep)[0])
-            new_manifest.append(
-                {
-                    "path": os.path.relpath(fpath, self.path),
-                    "bucket": bucket,
-                    "schema_v": snap["schema_version"],
-                    "rows": pq.ParquetFile(fpath).metadata.num_rows,
-                }
-            )
+        files_written, _ = self._register_files(out_path, snap["schema_version"])
+        new_manifest.extend(files_written)
         metrics = {
             "compacted_buckets": len(todo),
             "files_before": len(snap["manifest"]),
@@ -437,7 +507,8 @@ class IceboxTable:
         #    Counts are pre-dedup events (the "applied events" metric); the
         #    event-time watermark piggybacks on the same action.
         probe_aggs = [F.count("*").alias("n"), F.max(seq_col).alias("mx")]
-        if ts_col and ts_col in raw.columns:
+        has_ts = bool(ts_col) and ts_col in raw.columns
+        if has_ts:
             probe_aggs.append(F.max(ts_col).alias("mts"))
         stats = (
             raw.groupBy(bucket_expr(key, nb).alias("_bucket"))
@@ -450,7 +521,7 @@ class IceboxTable:
         batch_max_seq = max((mx for _, mx in touched.values()), default=fence_lsn)
         max_ts = (
             max((r["mts"] for r in stats if r["mts"] is not None), default=None)
-            if ts_col
+            if has_ts
             else None
         )
 
@@ -573,7 +644,7 @@ class IceboxTable:
             # a single fence-less merge marks the table as unordered-
             # delivery forever (compaction then preserves tombstones)
             "unordered_mode": snap.get("unordered_mode", False) or not fence,
-            "committed_batches": snap["committed_batches"] + [batch_id],
+            "committed_batches": (snap["committed_batches"] + [batch_id])[-MAX_FENCE_IDS:],
             "manifest": new_manifest,
             "lineage": {
                 "last_applied_lsn": max(fence_lsn, batch_max_seq),

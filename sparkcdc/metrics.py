@@ -26,14 +26,15 @@ class MetricsLog:
 
     def totals(self) -> dict:
         applied = sum(r.get("applied_events", 0) for r in self.records)
-        scanned = sum(r.get("scanned_events", 0) for r in self.records)
+        range_w = sum(r.get("range_width", 0) for r in self.records)
         dur = sum(r.get("duration_sec", 0.0) for r in self.records)
         return {
             "batches": len(self.records),
             "applied_events": applied,
-            "scanned_events": scanned,
+            "range_width": range_w,
             "duration_sec": dur,
-            # headline: change-events processed end-to-end per second
-            "events_per_sec": (scanned / dur) if dur else 0.0,
-            "applied_per_sec": (applied / dur) if dur else 0.0,
+            # headline: change-events processed end-to-end per second —
+            # denominator is actual pre-dedup batch rows, not LSN range width
+            "events_per_sec": (applied / dur) if dur else 0.0,
+            "range_per_sec": (range_w / dur) if dur else 0.0,
         }

@@ -23,13 +23,27 @@ from .flatten import flatten_df, flatten_fields
 
 GUESS_RECORDS_COUNT = 50  # Constant.java:7
 
-# (regex, strftime format) — ordered, first match wins
+# (regex, strftime format) — ordered, first match wins. Coverage modeled on
+# embulk-util-guess's timestamp matcher (the reference delegates to it at
+# JiraInputPlugin.java:188): ISO-8601 with/without millis/zone, space
+# separated with/without zone, date-only in -, / and . spellings, and
+# unix epoch seconds (range-checked, below).
 _TS_PATTERNS = [
     (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}[+-]\d{4}$"), "%Y-%m-%dT%H:%M:%S.%L%z"),
     (re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}[+-]\d{4}$"), "%Y-%m-%dT%H:%M:%S%z"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} [+-]\d{4}$"), "%Y-%m-%d %H:%M:%S %z"),
+    (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}$"), "%Y-%m-%d %H:%M:%S.%L"),
     (re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}$"), "%Y-%m-%d %H:%M:%S"),
     (re.compile(r"^\d{4}-\d{2}-\d{2}$"), "%Y-%m-%d"),
+    (re.compile(r"^\d{4}/\d{2}/\d{2}$"), "%Y/%m/%d"),
+    (re.compile(r"^\d{2}/\d{2}/\d{4}$"), "%d/%m/%Y"),
+    (re.compile(r"^\d{4}\.\d{2}\.\d{2}$"), "%Y.%m.%d"),
 ]
+
+# unix epoch seconds: all-digit strings inside a sane range
+# (2000-01-01 .. 2039-12-31) guess as timestamp '%s'
+_EPOCH_RE = re.compile(r"^\d{10}$")
+_EPOCH_LO, _EPOCH_HI = 946_684_800, 2_208_988_800
 
 
 def _base_guess(dtype: T.DataType, kind: str) -> str:
@@ -69,6 +83,12 @@ def guess_columns(sample: DataFrame, sample_n: int = GUESS_RECORDS_COUNT) -> lis
                 if all(rx.match(v) for v in vals):
                     spec = {"name": f.name, "type": "timestamp", "format": fmt}
                     break
+            else:
+                if all(
+                    _EPOCH_RE.match(v) and _EPOCH_LO <= int(v) < _EPOCH_HI
+                    for v in vals
+                ):
+                    spec = {"name": f.name, "type": "timestamp", "format": "%s"}
         specs.append(spec)
     return specs
 
@@ -79,6 +99,9 @@ _WIDEN_OK = {
     ("int", "bigint"), ("smallint", "int"), ("smallint", "bigint"),
     ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
     ("float", "double"), ("int", "double"), ("bigint", "double"),
+    # string → timestamp: the dynamic_schema re-guess upgrades a string
+    # column only when every sampled value matched a timestamp format
+    ("string", "timestamp"),
 }
 
 

@@ -13,6 +13,7 @@ checkpoint replay.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
 
 from .config import JobConfig
 from .engine import CDCEngine
@@ -24,11 +25,21 @@ def run_streaming(
     *,
     checkpoint_dir: str,
     available_now: bool = True,
-) -> dict:
+) -> dict | tuple[StreamingQuery, CDCEngine]:
     """Tail cfg.log_path with a file-source stream; apply every micro-batch
-    via the icebox MERGE. Returns engine metric totals after the stream
-    drains (available_now) — for a continuous tail pass available_now=False
-    and manage the returned query yourself."""
+    via the icebox MERGE.
+
+    With ``available_now=True`` (default) the stream drains and engine
+    metric totals are returned. With ``available_now=False`` the live
+    ``(StreamingQuery, CDCEngine)`` pair is returned — await/stop the
+    query yourself and read ``engine.metrics`` while it runs.
+
+    Caveat: epoch ids restart at 0 with a FRESH checkpoint dir. Reusing an
+    existing table with a new checkpoint therefore re-presents batch ids
+    ('stream-epoch-0', …) that the table may already have fenced —
+    re-delivered epochs are skipped as already-committed, so point a new
+    checkpoint at a new table (or clear the table) when replaying from
+    scratch."""
     static = spark.read.parquet(cfg.log_path)
     engine = CDCEngine(spark, cfg, log_df=static)
 
@@ -56,5 +67,4 @@ def run_streaming(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return engine.metrics.totals()
-    writer.start()
-    return engine.metrics.totals()
+    return writer.start(), engine

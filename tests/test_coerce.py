@@ -116,3 +116,22 @@ def test_normalize_token_arrays_is_identity_int32(spark):
     )
     out = df.select(normalize_token_arrays(F.col("tokens")).alias("t")).collect()
     assert [r["t"] for r in out] == [[1, 2, 3], None, [2**20, 0]]
+
+
+def test_strftime_unsupported_directives_raise():
+    import pytest
+
+    for bad in ("%s since epoch", "%C%y", "%U week"):
+        with pytest.raises(ValueError, match="unsupported strftime"):
+            strftime_to_java(bad)
+
+
+def test_epoch_seconds_whole_pattern(spark):
+    """%s as the whole format parses epoch-second strings/numbers;
+    garbage → NULL (null-on-error contract)."""
+    df = spark.createDataFrame(
+        [("1700000000",), ("garbage",), ("17.5",), (None,)], "d: string"
+    )
+    rows = coerce_columns(df, [{"name": "d", "type": "timestamp", "format": "%s"}]).collect()
+    assert rows[0]["d"] == datetime.datetime(2023, 11, 14, 22, 13, 20)  # UTC session
+    assert rows[1]["d"] is None and rows[2]["d"] is None and rows[3]["d"] is None

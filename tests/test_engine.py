@@ -299,3 +299,75 @@ def test_chaos_combined_scenario(spark, tmp_path):
     got["n_tok"] = got["n_tok"].astype("int64")
     expected["n_tok"] = expected["n_tok"].astype("int64")
     oracle.assert_table_equal(got, expected)
+
+
+def test_retry_classifier_matrix(spark, tmp_path, monkeypatch):
+    """Reference retry matrix (client/JiraClient.java:100-147, tests
+    JiraClientTest.java:143-192): deterministic errors (the 4xx analog)
+    fail fast without retrying; transient ones (IOException / 5xx analog)
+    retry with backoff."""
+    from sparkcdc.engine import is_retryable
+
+    assert not is_retryable(ConfigError("bad config"))
+    assert not is_retryable(ValueError("bad arg"))
+    assert not is_retryable(TypeError("bad type"))
+    assert is_retryable(OSError("connection reset"))
+    assert is_retryable(RuntimeError("executor lost"))
+    try:
+        from pyspark.errors import AnalysisException
+
+        assert not is_retryable(AnalysisException("plan error"))
+    except TypeError:
+        pass  # ctor signature differs — covered by the engine test below
+
+    # the engine must NOT burn retries on a deterministic failure
+    log_path = _mk_log(spark, tmp_path, seed=67, n=500, docs=50)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "t"),
+                    retry_limit=5, retry_initial_wait_sec=0.01, n_buckets=4)
+    eng = CDCEngine(spark, cfg)
+    calls = {"n": 0}
+
+    def deterministic(*a, **kw):
+        calls["n"] += 1
+        raise ValueError("deterministic plan failure")
+
+    import pytest as _pytest
+    monkeypatch.setattr(eng.table, "merge", deterministic)
+    with _pytest.raises(ValueError, match="deterministic"):
+        eng.run()
+    assert calls["n"] == 1  # zero retries
+
+
+def test_dynamic_schema_reguesses_per_run(spark, tmp_path):
+    """dynamic_schema=True re-guesses the column set at run start and
+    applies it via a schema-update commit (JiraInputPlugin.java:89-91,
+    108-123): a string column whose sampled values all match a timestamp
+    format is upgraded table-side; an empty dataset keeps the schema."""
+    rows = [
+        (i + 1, "upsert", f"D{i % 10}", i, f"2024-01-{i % 9 + 1:02d}")
+        for i in range(200)
+    ]
+    log = spark.createDataFrame(
+        rows, "seq: long, op: string, doc_id: string, n_tok: int, created: string"
+    )
+    wal = str(tmp_path / "wal")
+    log.write.parquet(wal)
+
+    cfg = JobConfig(log_path=wal, table_path=str(tmp_path / "t"),
+                    batch_size=100, n_buckets=4, dynamic_schema=True)
+    eng = CDCEngine(spark, cfg)
+    assert dict(eng.table.schema["created"].__dict__)["dataType"].simpleString() == "string"
+    eng.run()
+    assert eng.table.schema["created"].dataType.simpleString() == "timestamp"
+    got = eng.read_table().where(F.col("doc_id") == "D0").collect()
+    import datetime as _dt
+    assert all(isinstance(r["created"], _dt.datetime) for r in got)
+    assert any(r.get("kind") == "dynamic-schema" for r in eng.metrics.records)
+
+    # empty dataset: tolerated, schema unchanged (reference empty tolerance)
+    empty = spark.createDataFrame([], log.schema)
+    cfg2 = JobConfig(log_path=wal, table_path=str(tmp_path / "t2"),
+                     batch_size=100, n_buckets=4, dynamic_schema=True)
+    eng2 = CDCEngine(spark, cfg2, log_df=empty)
+    eng2.run()
+    assert eng2.table.schema["created"].dataType.simpleString() == "string"

@@ -138,9 +138,12 @@ def test_atomic_pointer_and_snapshot_history(spark, table):
 def test_compaction_preserves_state_and_bounds_files(spark, table):
     from sparkcdc.changelog import generate_changelog, scan_slice
 
+    # MOR deltas accumulate one file set per commit — the case compaction
+    # exists for (COW rewrites touched buckets wholly, leaving 1 file each,
+    # so a COW-only table is already compact and compact() is a no-op)
     log = generate_changelog(spark, 3_000, 250, seed=17, dup_pct=10)
     for lo in range(0, 3_000, 1_000):
-        table.merge(scan_slice(log, lo, lo + 1_000), f"b{lo}")
+        table.merge(scan_slice(log, lo, lo + 1_000), f"b{lo}", mor=True)
     before = table.read().toPandas()
     n_files_before = len(table.snapshot["manifest"])
     m = table.compact()
@@ -274,3 +277,69 @@ def test_single_key_update_rewrites_one_bucket_only(spark, tmp_path):
     assert len(after - before) >= 1    # the new bucket file(s)
     row = t.read().where(F.col("doc_id") == "DOC-00000042").collect()[0]
     assert row["tokens"] == [1, 2, 3] and row["n_tok"] == 3
+
+
+def test_compact_is_metadata_only_without_work(spark, table):
+    """An ordered (tombstone-free) table whose buckets each hold one file
+    has nothing to compact: compact() must NOT rewrite the table (the
+    drop-tombstones pass only expands to buckets that can actually contain
+    tombstones, per footer stats)."""
+    log = generate_changelog(spark, 2_000, 200, seed=77)
+    table.merge(scan_slice(log, 0, 1_000), "b1")
+    table.merge(scan_slice(log, 1_000, 2_000), "b2")
+    # fold multi-file buckets once; afterwards every bucket has one file
+    table.compact()
+    snap_before = table.snapshot["snapshot_id"]
+    files_before = {e["path"] for e in table.snapshot["manifest"]}
+    m = table.compact()
+    assert m["compacted_buckets"] == 0
+    assert table.snapshot["snapshot_id"] == snap_before  # no new snapshot
+    assert {e["path"] for e in table.snapshot["manifest"]} == files_before
+
+
+def test_manifest_entries_track_tombstones(spark, tmp_path):
+    t = IceboxTable.create(spark, str(tmp_path / "ts"), SCHEMA_V1, n_buckets=4)
+    log = generate_changelog(spark, 500, 50, seed=78, delete_pct=30)
+    t.merge(log, "b1", fence=False, tombstones=True)
+    flags = [e["tombstones"] for e in t.snapshot["manifest"]]
+    assert any(flags)  # deletes present → tombstone files flagged
+    # compaction in unordered mode keeps tombstones but must still fold
+    m = t.compact()  # defaults: drop_tombstones=False for unordered tables
+    assert t.read(include_tombstones=True).count() >= t.read().count()
+
+
+def test_expire_snapshots_sweeps_orphans(spark, table):
+    import os
+    log = generate_changelog(spark, 1_000, 100, seed=79)
+    table.merge(log, "b1")
+    # simulate a crashed merge: files written but never committed
+    orphan_dir = os.path.join(table.path, "data", "c999", "_bucket=0")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-junk.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    before = table.read().count()
+    res = table.expire_snapshots(keep_last=1, sweep_orphans=True)
+    assert res["orphan_files_swept"] == 1
+    assert not os.path.exists(orphan)
+    assert table.read().count() == before  # live data untouched
+
+
+def test_read_missing_snapshot_raises_value_error(spark, table):
+    log = generate_changelog(spark, 500, 50, seed=80)
+    table.merge(log, "b1")
+    with pytest.raises(ValueError, match="snapshot 404 not found"):
+        table.read(snapshot_id=404)
+
+
+def test_committed_batches_bounded(spark, table, monkeypatch):
+    import sparkcdc.icebox as icebox_mod
+    monkeypatch.setattr(icebox_mod, "MAX_FENCE_IDS", 3)
+    log = generate_changelog(spark, 1_000, 100, seed=81)
+    for i, lo in enumerate(range(0, 1_000, 200)):
+        table.merge(scan_slice(log, lo, lo + 200), f"b{i}")
+    assert len(table.snapshot["committed_batches"]) == 3
+    assert table.snapshot["committed_batches"] == ["b2", "b3", "b4"]
+    # an evicted batch re-applied in fenced mode is an empty no-op
+    m = table.merge(scan_slice(log, 0, 200), "b0")
+    assert m["applied_events"] == 0

@@ -89,3 +89,30 @@ def test_widen_array_elements():
     evolved, changes = detect_evolution(a, b)
     assert changes == ["widen tokens: array<int> -> array<bigint>"]
     assert evolved.fields[0].dataType.simpleString() == "array<bigint>"
+
+
+def test_guess_broader_timestamp_formats(spark):
+    """SchemaGuess-style coverage: slash/dot dates, space+zone, epoch
+    seconds (range-checked)."""
+    df = spark.createDataFrame(
+        [("05/03/2024", "1700000000", "2024-03-05 10:00:00 +0000", "2024/03/05")],
+        "a: string, b: string, c: string, d: string",
+    )
+    specs = {s["name"]: s for s in guess_columns(df)}
+    assert specs["a"] == {"name": "a", "type": "timestamp", "format": "%d/%m/%Y"}
+    assert specs["b"] == {"name": "b", "type": "timestamp", "format": "%s"}
+    assert specs["c"]["format"] == "%Y-%m-%d %H:%M:%S %z"
+    assert specs["d"]["format"] == "%Y/%m/%d"
+
+
+def test_epoch_out_of_range_stays_string(spark):
+    # 10 digits but outside the sane epoch window (year 2286)
+    df = spark.createDataFrame([("9999999999",)], "a: string")
+    assert guess_columns(df)[0]["type"] == "string"
+
+
+def test_string_widens_to_timestamp_for_dynamic_reguess():
+    a = T.StructType([T.StructField("created", T.StringType())])
+    b = T.StructType([T.StructField("created", T.TimestampType())])
+    evolved, changes = detect_evolution(a, b)
+    assert changes == ["widen created: string -> timestamp"]
