@@ -83,6 +83,7 @@ def main() -> int:
         "agg": "a1_count_aggregate",
         "minhash_lsh": "dedup_minhash_lsh",
         "ngram_jaccard": "dedup_ngram_jaccard",
+        "lsh_verified": "dedup_lsh_verified",
         "ann_cosine": "ann_cosine_topk",
         "text_pipeline": "text_quality",
         "fingerprint": "text_fingerprint",

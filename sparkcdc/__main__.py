@@ -57,16 +57,25 @@ def main(argv: list[str] | None = None) -> int:
         log_format=args.log_format, merge_mode=args.merge_mode,
         compact_every=args.compact_every,
     )
-    engine = CDCEngine(spark, cfg)
-    if args.preview:
-        for row in engine.preview().collect():
-            print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
-        return 0
-    for lo, hi in engine.plan_batches():
-        print(json.dumps(engine.apply_batch(lo, hi)))
-    totals = engine.metrics.totals()
-    print(json.dumps({"kind": "totals", **totals,
-                      "table_rows": engine.read_table().count()}))
+    from .config import ConfigError, extract_error_messages
+
+    try:
+        engine = CDCEngine(spark, cfg)
+        if args.preview:
+            for row in engine.preview().collect():
+                print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+            return 0
+        for lo, hi in engine.plan_batches():
+            print(json.dumps(engine.apply_batch(lo, hi)))
+        totals = engine.metrics.totals()
+        print(json.dumps({"kind": "totals", **totals,
+                          "table_rows": engine.read_table().count()}))
+    except ConfigError as e:
+        # C10: human-readable error surface (client/JiraClient.java:181-194)
+        print(json.dumps({"kind": "error",
+                          "message": extract_error_messages(str(e))}),
+              file=sys.stderr)
+        return 1
     return 0
 
 

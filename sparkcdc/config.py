@@ -15,6 +15,22 @@ class ConfigError(ValueError):
     """Invalid job config (≈ embulk ConfigException)."""
 
 
+def extract_error_messages(body: str) -> str:
+    """Human-readable error extraction with the reference's semantics
+    (client/JiraClient.java:181-194): parse the payload as JSON, join its
+    ``errorMessages`` array with ``" , "``; on any parse failure (or when
+    the array is absent/empty) fall back to the raw body."""
+    import json
+
+    try:
+        msgs = json.loads(body).get("errorMessages")
+        if msgs:
+            return " , ".join(str(m) for m in msgs)
+    except Exception:
+        pass
+    return body
+
+
 @dataclass
 class JobConfig:
     log_path: str
@@ -62,6 +78,15 @@ class JobConfig:
 
     def check_source(self) -> None:
         """Pre-flight probe (≈ checkUserCredentials, client/JiraClient.java:53-65):
-        the log path must exist and be readable before the run starts."""
+        the log path must exist and be readable before the run starts. A
+        producer-written ``_ERROR`` sidecar (the WAL analog of an HTTP error
+        payload) fails the pre-flight with its extracted messages."""
         if not os.path.exists(self.log_path):
             raise ConfigError(f"log source not found: {self.log_path}")
+        marker = os.path.join(self.log_path, "_ERROR")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                body = fh.read()
+            raise ConfigError(
+                f"log source reports error: {extract_error_messages(body)}"
+            )

@@ -371,3 +371,23 @@ def test_dynamic_schema_reguesses_per_run(spark, tmp_path):
     eng2 = CDCEngine(spark, cfg2, log_df=empty)
     eng2.run()
     assert eng2.table.schema["created"].dataType.simpleString() == "string"
+
+
+def test_error_message_extraction_matrix(tmp_path):
+    """C10 parity (client/JiraClient.java:181-194): errorMessages[] joined
+    with ' , '; absent/empty/malformed → raw body. The _ERROR sidecar in a
+    WAL dir fails the pre-flight with the extracted message."""
+    from sparkcdc.config import extract_error_messages
+
+    assert extract_error_messages('{"errorMessages": ["a", "b"]}') == "a , b"
+    assert extract_error_messages('{"errorMessages": []}') == '{"errorMessages": []}'
+    assert extract_error_messages('{"other": 1}') == '{"other": 1}'
+    assert extract_error_messages("plain text failure") == "plain text failure"
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    (wal / "_ERROR").write_text('{"errorMessages": ["quota exceeded", "retry later"]}')
+    cfg = JobConfig(log_path=str(wal), table_path=str(tmp_path / "t"))
+    import pytest as _pytest
+    with _pytest.raises(ConfigError, match="quota exceeded , retry later"):
+        cfg.check_source()
