@@ -258,6 +258,27 @@ def q_cdc_anti_join_deleted(spark, sf_dir):
     return all_keys.join(final, "doc_id", "left_anti")
 
 
+def q_cdc_stateful_lww(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): per-key
+    LWW state across triggers; final winners must equal the batch LWW
+    oracle — the streaming/batch consistency contract."""
+    import uuid
+
+    from sparkcdc.stateful import run_stateful_lww
+
+    work = tempfile.mkdtemp(prefix="sparkcdc-state-")
+    wal = os.path.join(work, "wal")
+    _derived_log(spark, sf_dir).repartition(8).write.parquet(wal)
+    final = run_stateful_lww(
+        spark, wal,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        query_name=f"lww_state_{uuid.uuid4().hex[:8]}",
+    )
+    return final.where(F.col("op") != "delete").select(
+        "doc_id", F.col("seq").alias("last_seq"), "n_tok", "source"
+    )
+
+
 def q_cdc_replay_engine(spark, sf_dir):
     """The flagship: full engine replay (micro-batches, icebox MERGE
     commits, lineage) of the derived change log into a scratch table."""
@@ -504,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_anti_join_deleted": q_cdc_anti_join_deleted,
         "cdc_replay_engine": q_cdc_replay_engine,
+        "cdc_stateful_lww": q_cdc_stateful_lww,
         "t8_tumbling_window": q_t8_tumbling_window,
         "c1_try_casts": q_c1_try_casts,
         "c4_timestamp_parse": q_c4_timestamp_parse,
@@ -736,6 +758,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay_engine": _FINAL_STATE_SQL + """
             SELECT doc_id, n_tok, source
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        "cdc_stateful_lww": _FINAL_STATE_SQL + """
+            SELECT doc_id, seq AS last_seq, n_tok, source
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         "t8_tumbling_window": """

@@ -391,3 +391,47 @@ def test_error_message_extraction_matrix(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ConfigError, match="quota exceeded , retry later"):
         cfg.check_source()
+
+
+def test_streaming_continuous_returns_live_query(spark, tmp_path):
+    """available_now=False returns the live (StreamingQuery, engine) pair
+    (the old API dropped the handle, orphaning the query); the query is
+    awaitable/stoppable and the micro-batches it applied are committed."""
+    from pyspark.sql.streaming import StreamingQuery
+    from sparkcdc.streaming import run_streaming
+
+    log_path = _mk_log(spark, tmp_path, seed=71, n=2_000, docs=200)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "ctbl"), n_buckets=8)
+    query, engine = run_streaming(
+        spark, cfg, checkpoint_dir=str(tmp_path / "cckpt"), available_now=False
+    )
+    try:
+        assert isinstance(query, StreamingQuery)
+        import time as _time
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if engine.metrics.records and engine.table.read().count() > 0:
+                break
+            _time.sleep(0.5)
+        assert engine.table.read().count() > 0
+        assert any(r.get("kind") == "stream-batch" for r in engine.metrics.records)
+    finally:
+        query.stop()
+
+
+def test_stateful_lww_streaming_operator(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator (§2.9): per-key
+    winner state survives across triggers; duplicates and out-of-order
+    delivery lose against stored max-seq; final winners == oracle replay."""
+    from sparkcdc.stateful import run_stateful_lww
+
+    log = generate_changelog(spark, 3_000, 250, seed=83, dup_pct=15, shuffled=True)
+    wal = str(tmp_path / "swal")
+    # many small files → several availableNow triggers → cross-trigger state
+    log.repartition(12).write.parquet(wal)
+    final = run_stateful_lww(spark, wal, checkpoint_dir=str(tmp_path / "sckpt"),
+                             query_name="lww_state_t1")
+    got = final.where(F.col("op") != "delete").drop("op").toPandas()
+    expected = oracle.replay(spark.read.parquet(wal).toPandas())
+    oracle.assert_table_equal(got, expected)
