@@ -47,8 +47,14 @@ def main() -> int:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # ---- warm up JIT/codegen with a tiny pass (not timed)
-    generate_changelog(spark, 10_000, 500, seed=1).count()
+    # ---- warm up JIT/codegen with a tiny full replay (not timed): the
+    # merge plan's whole-stage codegen compiles once per JVM; without this
+    # the first timed batch pays ~5-10s of compilation, not engine work
+    warm_dir = os.path.join(work, "warm")
+    write_log_parquet(generate_changelog(spark, 40_000, 2_000, seed=1), os.path.join(warm_dir, "wal"), partitions=8)
+    CDCEngine(spark, JobConfig(log_path=os.path.join(warm_dir, "wal"),
+                               table_path=os.path.join(warm_dir, "t"),
+                               batch_size=20_000, n_buckets=cpus * 2)).run()
 
     # ---- headline: CDC replay end-to-end (generation excluded from timing)
     log = generate_changelog(spark, n_events, n_docs, seed=42,

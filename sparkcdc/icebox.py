@@ -360,6 +360,7 @@ class IceboxTable:
                 "bucket": int(fpath.split("_bucket=")[1].split(os.sep)[0]),
                 "schema_v": schema_v,
                 "rows": md.num_rows,
+                "bytes": os.path.getsize(fpath),
                 "tombstones": self._has_tombstones(md),
             }
             if kind:
@@ -632,6 +633,10 @@ class IceboxTable:
             "touched_buckets": sorted(touched),
             "files_written": len(files_written),
             "rows_written": rows_out,
+            # write amplification signal: bytes this commit / bytes live —
+            # the number that says when to flip COW → MOR at scale
+            "bytes_written": sum(e.get("bytes", 0) for e in files_written),
+            "total_bytes": sum(e.get("bytes", 0) for e in new_manifest),
             "total_rows": total_rows,
             "max_event_ts": max_ts.isoformat() if max_ts is not None else None,
             **phase_t,

@@ -343,3 +343,20 @@ def test_committed_batches_bounded(spark, table, monkeypatch):
     # an evicted batch re-applied in fenced mode is an empty no-op
     m = table.merge(scan_slice(log, 0, 200), "b0")
     assert m["applied_events"] == 0
+
+
+def test_merge_reports_write_amplification(spark, table):
+    log = generate_changelog(spark, 1_000, 100, seed=85)
+    m = table.merge(log, "b1")
+    assert m["bytes_written"] > 0
+    assert m["total_bytes"] >= m["bytes_written"] > 0
+    # MOR writes O(batch): a tiny second batch must write far fewer bytes
+    # than rewriting the touched buckets would
+    m2 = table.merge(
+        generate_changelog(spark, 100, 100, seed=86).withColumn(
+            "seq", F.col("seq") + 1_000
+        ),
+        "b2",
+        mor=True,
+    )
+    assert 0 < m2["bytes_written"] < m["bytes_written"]
