@@ -30,50 +30,54 @@ OUTPUT_SCHEMA = (
 )
 
 
-def _clean_tokens(val):
-    if val is None or (isinstance(val, float) and pd.isna(val)):
-        return None
-    return [int(x) for x in val]
-
-
-def _lww_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    """One key's update: fold every Arrow batch's max-seq candidate against
-    the stored winner; emit (and store) only on change."""
-    best = tuple(state.get) if state.exists else None
-    best_seq = int(best[0]) if best else -1
-    changed = False
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        row = pdf.loc[pdf["seq"].astype("int64").idxmax()]
-        seq = int(row["seq"])
-        if seq > best_seq:
-            best_seq = seq
-            n_tok = None if pd.isna(row["n_tok"]) else int(row["n_tok"])
-            best = (seq, row["op"], n_tok, row["source"], _clean_tokens(row["tokens"]))
-            changed = True
-    if changed:
-        state.update(best)
-        yield pd.DataFrame(
-            [
-                {
-                    "doc_id": key[0],
-                    "seq": best[0],
-                    "op": best[1],
-                    "n_tok": best[2],
-                    "source": best[3],
-                    "tokens": best[4],
-                }
-            ]
-        )
-
-
 def streaming_lww(stream: DataFrame, *, key: str = "doc_id") -> DataFrame:
     """Apply the stateful LWW operator to a streaming DataFrame of change
     events ``(doc_id, seq, op, n_tok, source, tokens)``. Returns the
-    update-mode stream of changed winners."""
+    update-mode stream of changed winners.
+
+    The update function is a self-contained closure (pickled by VALUE):
+    a module-level def would pickle by reference and require the sparkcdc
+    package importable on every python worker, which plain drivers without
+    ``spark-submit --py-files`` don't guarantee."""
+
+    def lww_update(k, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import pandas as _pd
+
+        best = tuple(state.get) if state.exists else None
+        best_seq = int(best[0]) if best else -1
+        changed = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            row = pdf.loc[pdf["seq"].astype("int64").idxmax()]
+            seq = int(row["seq"])
+            if seq > best_seq:
+                best_seq = seq
+                n_tok = None if _pd.isna(row["n_tok"]) else int(row["n_tok"])
+                toks = row["tokens"]
+                if toks is None or (isinstance(toks, float) and _pd.isna(toks)):
+                    toks = None
+                else:
+                    toks = [int(x) for x in toks]
+                best = (seq, row["op"], n_tok, row["source"], toks)
+                changed = True
+        if changed:
+            state.update(best)
+            yield _pd.DataFrame(
+                [
+                    {
+                        "doc_id": k[0],
+                        "seq": best[0],
+                        "op": best[1],
+                        "n_tok": best[2],
+                        "source": best[3],
+                        "tokens": best[4],
+                    }
+                ]
+            )
+
     return stream.groupBy(key).applyInPandasWithState(
-        _lww_update,
+        lww_update,
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "update",
