@@ -171,16 +171,18 @@ _COERCERS = {
 }
 
 
-def coerce_columns(df, columns: list[dict]):
+def coerce_columns(df, columns: list[dict], *, keep: list[str] | None = None):
     """The `addRecord` analog (JiraUtil.java:169-264): project the declared
     columns with per-type coercion, as ONE vectorized select.
 
     columns: [{"name": dot.path, "type": embulk-type, "format": optional}]
     Dot-paths resolve through struct nesting (flatten.resolve_path).
+    ``keep``: system columns passed through untouched (the engine keeps
+    seq/op/ts alongside the declared payload).
     """
     from .flatten import resolve_path
 
-    exprs = []
+    exprs = [F.col(c) for c in (keep or []) if c in df.columns]
     for spec in columns:
         name, typ = spec["name"], spec["type"]
         col, dt = resolve_path(df.schema, name)

@@ -74,6 +74,10 @@ class JobConfig:
         for c in self.columns:
             if "name" not in c or "type" not in c:
                 raise ConfigError(f"column spec needs name and type: {c}")
+        if self.columns and self.key not in {c["name"] for c in self.columns}:
+            raise ConfigError(
+                f"declared columns must include the merge key {self.key!r}"
+            )
         return self
 
     def check_source(self) -> None:

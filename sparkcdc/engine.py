@@ -73,8 +73,29 @@ def is_retryable(exc: BaseException) -> bool:
     return True  # unknown / IO / network → transient, retry
 
 
+_EMBULK_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "timestamp": T.TimestampType(),
+    "json": T.StringType(),
+}
+
+
+def schema_from_columns(columns: list[dict]) -> T.StructType:
+    """Declared column specs → table schema (the reference's fixed-schema
+    mode, README.md:33-47 `columns:`)."""
+    return T.StructType(
+        [T.StructField(c["name"], _EMBULK_TO_SPARK[c["type"]], True) for c in columns]
+    )
+
+
 def default_table_schema(log_schema: T.StructType, cfg: JobConfig) -> T.StructType:
-    """Target schema = log payload columns (everything but op/seq/ts)."""
+    """Target schema = declared columns when given (fixed-schema mode),
+    else the log payload columns (everything but op/seq/ts)."""
+    if cfg.columns:
+        return schema_from_columns(cfg.columns)
     skip = {cfg.seq_col, cfg.op_col, cfg.ts_col}
     return T.StructType([T.StructField(f.name, f.dataType, True)
                          for f in log_schema.fields if f.name not in skip])
@@ -133,6 +154,20 @@ class CDCEngine:
 
         specs = guess_columns(self.log.limit(GUESS_RECORDS_COUNT))
         sys_cols = {self.cfg.seq_col, self.cfg.op_col, self.cfg.ts_col}
+        if self.cfg.columns:
+            # fixed-schema mode: the re-guess REPLACES the declared columns
+            # (setColumns semantics, JiraInputPlugin.java:108-123), keeping
+            # the merge key present
+            new_cols = [s for s in specs if s["name"] not in sys_cols]
+            if new_cols and self.cfg.key in {s["name"] for s in new_cols}:
+                self.cfg.columns = new_cols
+                evolved, changes = detect_evolution(
+                    self.table.schema, schema_from_columns(new_cols)
+                )
+                if evolved is not None:
+                    self.table.update_schema(evolved)
+                return changes
+            return []
         by_name = {f.name: f for f in self.log.schema.fields}
         fields = []
         for s in specs:
@@ -159,9 +194,22 @@ class CDCEngine:
 
     # ---------------- apply ----------------
 
+    def _project_declared(self, batch: DataFrame) -> DataFrame:
+        """Fixed-schema mode: project each batch through the declared
+        columns with per-type null-on-error coercion (the reference's
+        addRecord visitor, util/JiraUtil.java:169-264), system columns
+        passed through for the merge."""
+        if not self.cfg.columns:
+            return batch
+        from .coerce import coerce_columns
+
+        keep = [c for c in (self.cfg.seq_col, self.cfg.op_col, self.cfg.ts_col)
+                if c in batch.columns]
+        return coerce_columns(batch, self.cfg.columns, keep=keep)
+
     def apply_batch(self, lo: int, hi: int) -> dict:
         t0 = time.time()
-        batch = scan_slice(self.log, lo, hi)
+        batch = self._project_declared(scan_slice(self.log, lo, hi))
         changes = self._maybe_evolve(batch)
         batch_id = f"b-{lo}-{hi}"
         attempt, wait = 0, self.cfg.retry_initial_wait_sec
@@ -231,9 +279,8 @@ class CDCEngine:
 
     def preview(self, n: int = PREVIEW_RECORDS_COUNT) -> DataFrame:
         last = int(self.table.lineage["last_applied_lsn"])
-        return scan_slice(self.log, last, last + self.cfg.batch_size).orderBy(
-            self.cfg.seq_col
-        ).limit(n)
+        nxt = scan_slice(self.log, last, last + self.cfg.batch_size)
+        return self._project_declared(nxt).orderBy(self.cfg.seq_col).limit(n)
 
     def read_table(self) -> DataFrame:
         return self.table.read()

@@ -435,3 +435,47 @@ def test_stateful_lww_streaming_operator(spark, tmp_path):
     got = final.where(F.col("op") != "delete").drop("op").toPandas()
     expected = oracle.replay(spark.read.parquet(wal).toPandas())
     oracle.assert_table_equal(got, expected)
+
+
+def test_declared_columns_fixed_schema_mode(spark, tmp_path):
+    """Fixed-schema ingestion (the reference's primary mode, README.md
+    `columns:`): every batch is projected through the declared columns
+    with null-on-error coercion; the table schema comes from the specs;
+    undeclared columns never reach the table."""
+    rows = [
+        (i + 1, "upsert", f"D{i % 20}", str(i * 3), f"2024-02-{i % 9 + 1:02d}",
+         "noise")
+        for i in range(300)
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "seq: long, op: string, doc_id: string, score: string, "
+        "created: string, junk: string",
+    )
+    wal = str(tmp_path / "wal")
+    log.write.parquet(wal)
+    cols = [
+        {"name": "doc_id", "type": "string"},
+        {"name": "score", "type": "long"},  # string → strict-int coercion
+        {"name": "created", "type": "timestamp", "format": "%Y-%m-%d"},
+    ]
+    cfg = JobConfig(log_path=wal, table_path=str(tmp_path / "t"),
+                    batch_size=100, n_buckets=4, columns=cols)
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    got = eng.read_table()
+    assert set(got.columns) == {"doc_id", "score", "created"}  # junk dropped
+    assert dict(got.dtypes) == {"doc_id": "string", "score": "bigint",
+                                "created": "timestamp"}
+    import datetime as _dt
+    r = got.where(F.col("doc_id") == "D1").collect()[0]
+    assert isinstance(r["score"], int) and isinstance(r["created"], _dt.datetime)
+    # preview honors the declared projection too
+    prev = eng.preview()
+    assert set(prev.columns) == {"seq", "op", "doc_id", "score", "created"}
+
+    # the merge key must be among the declared columns
+    import pytest as _pytest
+    with _pytest.raises(ConfigError, match="merge key"):
+        JobConfig(log_path=wal, table_path="x",
+                  columns=[{"name": "score", "type": "long"}]).validate()
