@@ -25,7 +25,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sparkcdc")
     p.add_argument("--log", help="existing change-log dir (else synthesize)")
     p.add_argument("--log-format", default="parquet", choices=["parquet", "json"])
-    p.add_argument("--merge-mode", default="cow", choices=["cow", "mor"])
+    p.add_argument("--merge-mode", default="cow", choices=["cow", "mor", "auto"])
     p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--table", required=True)
     p.add_argument("--events", type=int, default=100_000)

@@ -42,7 +42,7 @@ class JobConfig:
     ts_col: str = "ts"
     n_buckets: int = 64
     dynamic_schema: bool = False  # re-infer schema per run (JiraInputPlugin.java:89-91)
-    merge_mode: str = "cow"  # "cow" (rewrite touched buckets) | "mor" (delta files)
+    merge_mode: str = "cow"  # "cow" (rewrite touched buckets) | "mor" (delta files) | "auto" (cost-based per batch)
     compact_every: int | None = None  # mor: fold deltas every N batches
     log_format: str = "parquet"  # "parquet" | "json" (JSON-lines WAL)
     # driver-level retry of a failed merge commit (≈ JiraInputPlugin.java:69-83)
@@ -65,8 +65,8 @@ class JobConfig:
             raise ConfigError("retry_initial_wait_sec must be greater than 0")
         if self.n_buckets <= 0:
             raise ConfigError("n_buckets must be greater than 0")
-        if self.merge_mode not in ("cow", "mor"):
-            raise ConfigError("merge_mode must be 'cow' or 'mor'")
+        if self.merge_mode not in ("cow", "mor", "auto"):
+            raise ConfigError("merge_mode must be 'cow', 'mor' or 'auto'")
         if self.compact_every is not None and self.compact_every <= 0:
             raise ConfigError("compact_every must be greater than 0")
         if self.log_format not in ("parquet", "json"):

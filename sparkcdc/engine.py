@@ -215,10 +215,13 @@ class CDCEngine:
         attempt, wait = 0, self.cfg.retry_initial_wait_sec
         while True:
             try:
+                mor = None if self.cfg.merge_mode == "auto" else (
+                    self.cfg.merge_mode == "mor"
+                )
                 m = self.table.merge(
                     batch, batch_id, seq_col=self.cfg.seq_col,
                     op_col=self.cfg.op_col, ts_col=self.cfg.ts_col,
-                    mor=(self.cfg.merge_mode == "mor"),
+                    mor=mor,
                 )
                 break
             except Exception as exc:

@@ -460,7 +460,7 @@ class IceboxTable:
         fence: bool = True,
         tombstones: bool = False,
         ts_col: str | None = None,
-        mor: bool = False,
+        mor: bool | None = False,
     ) -> dict:
         """Key-partitioned MERGE of a micro-batch: last-writer-wins upsert +
         delete, idempotent on batch_id.
@@ -473,6 +473,11 @@ class IceboxTable:
             O(batch) per batch regardless of table size; reads resolve LWW
             across base+deltas until ``compact()`` folds them back. The
             right mode when batches are small relative to the table.
+          * cost-based (``mor=None``): decided per batch from statistics
+            already in hand — the probe's batch row count vs the manifest's
+            live rows in the touched buckets. A batch much smaller than
+            what COW would rewrite (< 1/8, the write-amplification
+            threshold) goes MOR; otherwise COW keeps reads cheap.
 
         Delivery-order contract: with ``fence=True`` (batch engine) the
         caller feeds monotone LSN ranges and events at or below the global
@@ -545,6 +550,17 @@ class IceboxTable:
             len(counts) > 1 and max(counts) > 4 * (sum(counts) / len(counts))
         )
         merge_plan = "skew-partial-agg" if skewed else "aligned-single-shuffle"
+
+        if mor is None:
+            # cost-based mode: compare batch size against what COW would
+            # rewrite (live rows of touched buckets, known from the
+            # manifest — no extra IO). Small batch on a big table → MOR.
+            batch_rows = sum(counts)
+            touched_live = sum(
+                e["rows"] for e in snap["manifest"] if e["bucket"] in touched
+            )
+            mor = touched_live > 0 and batch_rows * 8 < touched_live
+            merge_plan += "+auto-mor" if mor else "+auto-cow"
 
         if mor:
             new_manifest = list(snap["manifest"])  # deltas add, never replace

@@ -360,3 +360,22 @@ def test_merge_reports_write_amplification(spark, table):
         mor=True,
     )
     assert 0 < m2["bytes_written"] < m["bytes_written"]
+
+
+def test_auto_merge_mode_cost_based(spark, table):
+    """merge_mode auto: a big initial batch (nothing to rewrite → COW), a
+    tiny follow-up on the now-large table goes MOR (delta files), and a
+    table-sized rewrite goes back to COW — all from manifest stats, no
+    extra IO. Final state identical to the oracle."""
+    big = generate_changelog(spark, 4_000, 300, seed=91)
+    m1 = table.merge(big, "b1", mor=None)
+    assert m1["merge_plan"].endswith("+auto-cow")
+    tiny = generate_changelog(spark, 4_020, 300, seed=91).where(F.col("seq") > 4_000)
+    m2 = table.merge(tiny, "b2", mor=None)
+    assert m2["merge_plan"].endswith("+auto-mor")
+    assert any(e.get("kind") == "delta" for e in table.snapshot["manifest"])
+    big2 = generate_changelog(spark, 9_000, 300, seed=91).where(F.col("seq") > 4_020)
+    m3 = table.merge(big2, "b3", mor=None)
+    assert m3["merge_plan"].endswith("+auto-cow")
+    expected = oracle.replay(generate_changelog(spark, 9_000, 300, seed=91).toPandas())
+    oracle.assert_table_equal(table.read().toPandas(), expected)
