@@ -49,7 +49,7 @@ def run_streaming(
         # tombstones so late lower-seq updates cannot resurrect rows
         m = engine.table.merge(
             batch_df, f"stream-epoch-{epoch_id}", seq_col=cfg.seq_col, op_col=cfg.op_col,
-            fence=False, tombstones=True,
+            ts_col=cfg.ts_col, fence=False, tombstones=True,
         )
         engine.metrics.emit({"kind": "stream-batch", "epoch": epoch_id,
                              "schema_changes": changes, **m})

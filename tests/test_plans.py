@@ -100,3 +100,25 @@ def test_lww_dedup_uses_partial_aggregation(spark):
     log = generate_changelog(spark, 10_000, 500, seed=9)
     plan = _plan(lww_dedup(log))
     assert plan.count("SortAggregate") == 2 or "partial_max_by" in plan
+
+
+def test_lsh_paths_never_cartesian(spark):
+    """The LSH candidate joins must stay equi-joins on (band, bucket) —
+    a regression to an all-pairs CartesianProduct/BroadcastNestedLoop is
+    the one plan shape that cannot survive 10^9 vectors. (The brute-force
+    cosine_topk is the documented exactness baseline and is ALLOWED its
+    broadcast cross join.)"""
+    from sparkcdc.ann import cosine_near_dup_pairs, lsh_ann_topk
+    from sparkcdc.dedupe_docs import lsh_verified_pairs, minhash_lsh_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        lsh_ann_topk(emb, n_queries=3, k=5, n_planes=6, n_bands=2),
+        cosine_near_dup_pairs(emb, threshold=0.5, n_planes=6, n_bands=2),
+        minhash_lsh_pairs(docs),
+        lsh_verified_pairs(docs, threshold=0.6),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
