@@ -22,7 +22,13 @@ Module map (see SURVEY.md §7):
     icebox        snapshot-commit table        (north-rule T3; Iceberg-shaped)
     lineage       checkpoint fence             (north-rule T7)
     engine        micro-batch apply loop       (ref JiraInputPlugin.java:139-168)
+    streaming     Structured Streaming tailer  (foreachBatch front-end)
+    stateful      applyInPandasWithState LWW   (custom stateful operator)
     metrics       structured metrics
+    textops       token counts / lang-ID / quality / fingerprints
+    dedupe_docs   exact / Jaccard / MinHash-LSH / SimHash near-dup
+    ann           cosine top-k, multi-band LSH, IVF
+    multimodal    binary payloads + Arrow decode stage
     oracle        single-threaded pandas replay oracle (test-only)
 """
 
