@@ -479,3 +479,27 @@ def test_declared_columns_fixed_schema_mode(spark, tmp_path):
     with _pytest.raises(ConfigError, match="merge key"):
         JobConfig(log_path=wal, table_path="x",
                   columns=[{"name": "score", "type": "long"}]).validate()
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """spark-submit --py-files packaging: the zip must be importable on a
+    bare sys.path (what executors see)."""
+    import subprocess
+    import sys as _sys
+
+    sys_path_repo = "/root/repo"
+    out = str(tmp_path / "sparkcdc.zip")
+    r = subprocess.run(
+        [_sys.executable, f"{sys_path_repo}/tools/make_pyfiles.py", out],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    probe = subprocess.run(
+        [_sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {out!r}); "
+         "import sparkcdc, sparkcdc.icebox, sparkcdc.stateful, sparkcdc.ann; "
+         "print(sparkcdc.__version__)"],
+        capture_output=True, text=True, cwd=str(tmp_path),
+    )
+    assert probe.returncode == 0, probe.stderr
+    assert probe.stdout.strip() == "0.1.0"
