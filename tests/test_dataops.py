@@ -248,3 +248,53 @@ def test_lsh_multiband_recall_and_bucket_cap(emb):
         assert abs(brute[(r["query_id"], r["neighbor_id"])] - r["cos"]) < 1e-12
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
     assert all(v <= 10 for v in per_q.values())
+
+
+def test_capped_jaccard_matches_pure_model(spark):
+    """ngram_jaccard_pairs(df_cap=k) pinned against an independent pure-
+    Python model on a random-ish seeded corpus (shared phrases + unique
+    tails): same pair set, same jaccard values."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    phrases = [" ".join(rng.choices(vocab, k=4)) for _ in range(6)]
+    docs = []
+    for i in range(25):
+        parts = rng.sample(phrases, k=rng.randint(1, 3)) + [
+            " ".join(rng.choices(vocab, k=rng.randint(3, 8)))
+        ]
+        rng.shuffle(parts)
+        docs.append((i, " ".join(parts), "en"))
+
+    CAP, N, THR = 4, 3, 0.2
+
+    def shingle_set(text):
+        w = text.split()
+        return {" ".join(w[i:i + N]) for i in range(len(w) - N + 1)} if len(w) >= N else set()
+
+    sets = {d: shingle_set(t) for d, t, _ in docs}
+    df_count = {}
+    for s in sets.values():
+        for sh in s:
+            df_count[sh] = df_count.get(sh, 0) + 1
+    capped = {d: {sh for sh in s if df_count[sh] <= CAP} for d, s in sets.items()}
+    expected = {}
+    for a, b in itertools.combinations(sorted(capped), 2):
+        sa, sb = capped[a], capped[b]
+        if not sa and not sb:
+            continue
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= THR:
+            expected[(a, b)] = j
+
+    sdf = spark.createDataFrame(docs, "doc_id: long, text: string, lang: string")
+    got = {(r["doc1"], r["doc2"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(sdf, threshold=THR, df_cap=CAP).collect()}
+    assert set(got) == set(expected)
+    for k in got:
+        assert abs(got[k] - expected[k]) < 1e-12
