@@ -297,6 +297,26 @@ def q_cdc_replay_engine(spark, sf_dir):
     return eng.read_table().select("doc_id", "n_tok", "source")
 
 
+def q_cdc_incremental_read(spark, sf_dir):
+    """CDC out: net row-level changes between the snapshot after the first
+    merge and the final table state (icebox.read_changes) — upserts carry
+    the new winner, deletes the last seq visible at the old snapshot."""
+    from sparkcdc.config import JobConfig
+    from sparkcdc.engine import CDCEngine
+
+    tbl = tempfile.mkdtemp(prefix="sparkcdc-increread-")
+    cfg = JobConfig(
+        log_path=sf_dir, table_path=os.path.join(tbl, "tbl"),
+        batch_size=6000, n_buckets=16,
+    )
+    eng = CDCEngine(spark, cfg, log_df=_derived_log(spark, sf_dir))
+    eng.run()
+    ch = eng.table.read_changes(1)  # snapshot 1 = after the first merge
+    return ch.select(
+        "_change", "doc_id", F.col("_seq").alias("last_seq"), "n_tok", "source"
+    )
+
+
 # ------------------------------------------------------------- coercion ops
 
 def q_t8_tumbling_window(spark, sf_dir):
@@ -526,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_anti_join_deleted": q_cdc_anti_join_deleted,
         "cdc_replay_engine": q_cdc_replay_engine,
         "cdc_stateful_lww": q_cdc_stateful_lww,
+        "cdc_incremental_read": q_cdc_incremental_read,
         "t8_tumbling_window": q_t8_tumbling_window,
         "c1_try_casts": q_c1_try_casts,
         "c4_timestamp_parse": q_c4_timestamp_parse,
@@ -763,6 +784,23 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stateful_lww": _FINAL_STATE_SQL + """
             SELECT doc_id, seq AS last_seq, n_tok, source
             FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        "cdc_incremental_read": f"""
+            WITH log AS ({_DERIVED_LOG_SQL}),
+            r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                   FROM log WHERE seq <= 6000),
+            s1 AS (SELECT doc_id, seq, n_tok, source FROM r1 WHERE rn = 1 AND op <> 'delete'),
+            r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                   FROM log),
+            s2 AS (SELECT doc_id, seq, n_tok, source FROM r2 WHERE rn = 1 AND op <> 'delete')
+            SELECT 'upsert' AS _change, s2.doc_id, s2.seq AS last_seq, s2.n_tok, s2.source
+            FROM s2 LEFT JOIN s1 USING (doc_id)
+            WHERE s1.doc_id IS NULL OR s2.seq > s1.seq
+            UNION ALL
+            SELECT 'delete', s1.doc_id, s1.seq,
+                   CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
+            FROM s1 LEFT JOIN s2 USING (doc_id)
+            WHERE s2.doc_id IS NULL
         """,
         "t8_tumbling_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

@@ -379,3 +379,77 @@ def test_auto_merge_mode_cost_based(spark, table):
     assert m3["merge_plan"].endswith("+auto-cow")
     expected = oracle.replay(generate_changelog(spark, 9_000, 300, seed=91).toPandas())
     oracle.assert_table_equal(table.read().toPandas(), expected)
+
+
+def test_read_keys_point_lookup_prunes_buckets(spark, table, monkeypatch):
+    """Point lookups read only the buckets the requested keys hash to —
+    O(k buckets), not O(table) — and return exactly the full-read rows."""
+    log = generate_changelog(spark, 3_000, 300, seed=93, dup_pct=10)
+    table.merge(log, "b1")
+    full = {r["doc_id"]: r for r in table.read(with_seq=True).collect()}
+    some = sorted(full)[:3]
+    # spy on _read_manifest to count the entries actually read
+    seen = {}
+    orig = table._read_manifest
+
+    def spy(snap, entries, **kw):
+        seen["n_entries"] = len(entries)
+        seen["buckets"] = {e["bucket"] for e in entries}
+        return orig(snap, entries, **kw)
+
+    monkeypatch.setattr(table, "_read_manifest", spy)
+    got = {r["doc_id"]: r for r in table.read_keys(some, with_seq=True).collect()}
+    assert set(got) == set(some)
+    for k in some:
+        assert got[k]["_seq"] == full[k]["_seq"]
+        assert got[k]["n_tok"] == full[k]["n_tok"]
+    assert seen["n_entries"] < len(table.snapshot["manifest"])
+    assert len(seen["buckets"]) <= len(some)
+    # a deleted / absent key returns nothing
+    assert table.read_keys(["NOPE-404"]).count() == 0
+
+
+def test_read_changes_incremental_cdc_out(spark, table):
+    """Incremental read between snapshots (CDC out): net upserts + deletes
+    only, at changed-bucket cost; compaction-only commits diff to empty."""
+    log = generate_changelog(spark, 3_000, 250, seed=95, delete_pct=15)
+    table.merge(scan_slice(log, 0, 1_500), "b1")
+    s1 = table.snapshot["snapshot_id"]
+    state1 = {r["doc_id"]: r for r in table.read(with_seq=True).collect()}
+    table.merge(scan_slice(log, 1_500, 3_000), "b2")
+    state2 = {r["doc_id"]: r for r in table.read(with_seq=True).collect()}
+
+    ch = table.read_changes(s1)
+    rows = ch.collect()
+    ups = {r["doc_id"]: r for r in rows if r["_change"] == "upsert"}
+    dels = {r["doc_id"] for r in rows if r["_change"] == "delete"}
+
+    expected_ups = {
+        k: v for k, v in state2.items()
+        if k not in state1 or v["_seq"] > state1[k]["_seq"]
+    }
+    expected_dels = set(state1) - set(state2)
+    assert set(ups) == set(expected_ups)
+    assert dels == expected_dels
+    for k, r in ups.items():
+        assert r["_seq"] == state2[k]["_seq"] and r["n_tok"] == state2[k]["n_tok"]
+    # replaying the change set onto state1 reproduces state2 exactly
+    replayed = {k: v for k, v in state1.items() if k not in dels}
+    replayed.update(ups)
+    assert {k: v["_seq"] for k, v in replayed.items()} == {
+        k: v["_seq"] for k, v in state2.items()
+    }
+
+    # compaction-only snapshot: logical diff is empty (MOR table variant)
+    s2 = table.snapshot["snapshot_id"]
+    table.merge(
+        generate_changelog(spark, 3_050, 250, seed=95).where(F.col("seq") > 3_000),
+        "b3", mor=True,
+    )
+    table.compact()
+    s_after = table.snapshot["snapshot_id"]
+    tiny = table.read_changes(s2, s_after).collect()
+    assert all(r["_change"] in ("upsert", "delete") for r in tiny)
+    post_compact = table.read_changes(s_after - 1, s_after).collect()
+    # the compact commit itself (parent -> compacted) changes nothing visible
+    assert post_compact == [] or all(False for _ in post_compact)
