@@ -44,6 +44,7 @@ class JobConfig:
     dynamic_schema: bool = False  # re-infer schema per run (JiraInputPlugin.java:89-91)
     merge_mode: str = "cow"  # "cow" (rewrite touched buckets) | "mor" (delta files) | "auto" (cost-based per batch)
     compact_every: int | None = None  # mor: fold deltas every N batches
+    compact_delta_files: int | None = None  # fold when manifest holds > N delta files
     log_format: str = "parquet"  # "parquet" | "json" (JSON-lines WAL)
     # driver-level retry of a failed merge commit (≈ JiraInputPlugin.java:69-83)
     retry_limit: int = 5
@@ -69,6 +70,8 @@ class JobConfig:
             raise ConfigError("merge_mode must be 'cow', 'mor' or 'auto'")
         if self.compact_every is not None and self.compact_every <= 0:
             raise ConfigError("compact_every must be greater than 0")
+        if self.compact_delta_files is not None and self.compact_delta_files <= 0:
+            raise ConfigError("compact_delta_files must be greater than 0")
         if self.log_format not in ("parquet", "json"):
             raise ConfigError("log_format must be 'parquet' or 'json'")
         for c in self.columns:

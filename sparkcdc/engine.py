@@ -276,6 +276,15 @@ class CDCEngine:
             self.apply_batch(lo, hi)
             if self.cfg.compact_every and i % self.cfg.compact_every == 0:
                 self.metrics.emit({"kind": "compact", **self.table.compact()})
+            elif self.cfg.compact_delta_files is not None:
+                # stats-driven maintenance: fold merge-on-read deltas as
+                # soon as read amplification crosses the threshold
+                n_delta = sum(
+                    1 for e in self.table.snapshot["manifest"]
+                    if e.get("kind") == "delta"
+                )
+                if n_delta > self.cfg.compact_delta_files:
+                    self.metrics.emit({"kind": "compact", **self.table.compact()})
         return self.metrics.totals()
 
     # ---------------- preview (JiraInputPlugin.java:149-152) ----------------

@@ -503,3 +503,57 @@ def test_pyfiles_zip_importable(tmp_path):
     )
     assert probe.returncode == 0, probe.stderr
     assert probe.stdout.strip() == "0.1.0"
+
+
+def test_plan_batches_footer_stats_and_fallback(spark, tmp_path):
+    """The parquet WAL planner reads max-LSN from footer statistics (no
+    Spark job); files written WITHOUT statistics fall back to the scan
+    path and still plan correctly."""
+    from sparkcdc.changelog import max_seq_parquet_stats
+
+    log_path = _mk_log(spark, tmp_path, seed=97, n=1_000, docs=100)
+    assert max_seq_parquet_stats(log_path) == 1_000
+
+    # stats-less WAL: pyarrow write with statistics disabled
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nostats = tmp_path / "nostats"
+    nostats.mkdir()
+    t = pa.table({"seq": [1, 2, 3], "op": ["upsert"] * 3,
+                  "doc_id": ["a", "b", "c"],
+                  "n_tok": [1, 1, 1], "source": ["s"] * 3})
+    pq.write_table(t, str(nostats / "part-0.parquet"), write_statistics=False)
+    assert max_seq_parquet_stats(str(nostats)) is None  # signals fallback
+
+    cfg = JobConfig(log_path=str(nostats), table_path=str(tmp_path / "t"),
+                    batch_size=10, n_buckets=4)
+    eng = CDCEngine(spark, cfg)
+    assert eng.plan_batches() == [(0, 3)]  # planned via the Spark fallback
+    eng.run()
+    assert eng.read_table().count() == 3
+
+
+def test_stats_driven_auto_compaction(spark, tmp_path):
+    """merge_mode=auto + compact_delta_files: tiny batches on a grown table
+    land as MOR deltas, and compaction fires automatically once the delta
+    count crosses the threshold — file count stays bounded, state exact."""
+    log_path = _mk_log(spark, tmp_path, seed=99, n=2_000, docs=150)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "t"),
+                    batch_size=50, n_buckets=8, merge_mode="auto",
+                    compact_delta_files=12)
+    eng = CDCEngine(spark, cfg)
+    eng.run(max_batches=20)  # first big-ish batches COW, then deltas pile up
+    compacts = [r for r in eng.metrics.records if r.get("kind") == "compact"]
+    manifest = eng.table.snapshot["manifest"]
+    n_delta = sum(1 for e in manifest if e.get("kind") == "delta")
+    assert n_delta <= 12 + cfg.n_buckets  # bounded by threshold + one round
+    if any(r.get("merge_plan", "").endswith("+auto-mor")
+           for r in eng.metrics.records):
+        assert compacts  # deltas existed → compaction fired
+    # exactness preserved under the mixed plan
+    eng.run()  # finish the log
+    expected = oracle.replay(
+        spark.read.parquet(log_path).toPandas()
+    )
+    oracle.assert_table_equal(eng.read_table().toPandas(), expected)
