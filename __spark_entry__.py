@@ -677,12 +677,19 @@ def oracle_sql() -> dict[str, str]:
         for i, row in enumerate(cents)
     )
 
-    feat_chunk = "substr(text, i.i * s + 1, s)"
+    # byte-accurate decode replica: stripes over UTF-8 BYTES via
+    # hex(encode(text)) digit parsing, not characters — non-ASCII text
+    # stripes identically to the Spark-side bytes payload
+    feat_bytes = (
+        "[(strpos('0123456789ABCDEF', substr(hx, 2*p + 1, 1)) - 1) * 16 "
+        "+ (strpos('0123456789ABCDEF', substr(hx, 2*p + 2, 1)) - 1) "
+        "for p in range(i.i * s, least((i.i + 1) * s, n))]"
+    )
     feat_val = f"""
-        CASE WHEN length({feat_chunk}) = 0 THEN CAST(0.0 AS DOUBLE)
+        CASE WHEN i.i * s >= n THEN CAST(0.0 AS DOUBLE)
              ELSE CAST(CAST(
-                 list_sum([unicode(c) for c in string_split({feat_chunk}, '')])::DOUBLE
-                 / length({feat_chunk}) / 255.0 AS REAL) AS DOUBLE) END
+                 list_sum({feat_bytes})::DOUBLE
+                 / len({feat_bytes}) / 255.0 AS REAL) AS DOUBLE) END
     """
     feat_pivots = ",\n               ".join(
         f"MAX(CASE WHEN i = {i} THEN fv END) AS f{i}" for i in range(FEATURE_DIM)
@@ -1045,8 +1052,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": f"""
             WITH d AS (
-                SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                       greatest(length(text) // 8, 1) AS s
+                SELECT doc_id, hex(encode(text)) AS hx,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                       octet_length(encode(text)) AS n,
+                       greatest(octet_length(encode(text)) // 8, 1) AS s
                 FROM documents
             ),
             f AS (

@@ -226,12 +226,23 @@ def _band_tagged(
         F.posexplode(F.array(*bucket_cols)).alias("band", "bucket"),
     )
     if max_bucket is not None:
-        sizes = tagged.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
-        tagged = tagged.join(
-            sizes.where(F.col("_n") <= max_bucket).select("band", "bucket"),
-            ["band", "bucket"],
-        )
+        tagged = _cap_buckets(tagged, max_bucket, id_col)
     return tagged
+
+
+def _cap_buckets(tagged: DataFrame, max_bucket: int, id_col: str) -> DataFrame:
+    """Skew backstop: downsample every oversized (band, bucket) group to a
+    DETERMINISTIC max_bucket-row sample (xxhash64 order) instead of
+    dropping the bucket outright — work stays bounded at O(max_bucket²)
+    per bucket while hot regions still yield (degraded) candidates."""
+    w = Window.partitionBy("band", "bucket").orderBy(
+        F.abs(F.xxhash64(F.col(id_col))), F.col(id_col)
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
 
 
 def cosine_near_dup_pairs(
@@ -251,7 +262,10 @@ def cosine_near_dup_pairs(
     BEFORE the cosine so each pair is verified once; the bucket join (not
     an all-pairs cross) is the scale path for embedding-level dedup. At
     10⁹ vectors size n_planes so buckets stay executor-sized (2^planes
-    buckets/band) and set max_bucket as the skew backstop."""
+    buckets/band) and set max_bucket as the skew backstop (hot buckets are
+    deterministically downsampled on BOTH sides: an over-dense region's
+    O(b²) pair set is exactly what the cap exists to refuse; pair recall in
+    capped regions degrades and that is the documented trade)."""
     dim = len(emb.select(vec_col).first()[0])
     tagged = _band_tagged(
         emb, id_col=id_col, vec_col=vec_col, dim=dim,
@@ -287,16 +301,23 @@ def lsh_ann_topk(
     """Approximate top-k: exact cosine restricted to candidates sharing a
     sign-random-projection bucket with the query in ANY band (OR-ed bands
     raise recall; per-band plane count bounds bucket size). Recall < 1 by
-    design; the bucket join replaces the O(Q·N) cross join at scale."""
+    design; the bucket join replaces the O(Q·N) cross join at scale.
+
+    ``max_bucket`` downsamples the CANDIDATE side of hot buckets — a query
+    whose bucket is hot still probes it and gets degraded-but-nonempty
+    results instead of silently vanishing from the output."""
     dim = len(emb.select(vec_col).first()[0])
     tagged = _band_tagged(
         emb, id_col=id_col, vec_col=vec_col, dim=dim,
-        n_planes=n_planes, n_bands=n_bands, seed=seed, max_bucket=max_bucket,
+        n_planes=n_planes, n_bands=n_bands, seed=seed, max_bucket=None,
     )
     q = tagged.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "band", "bucket"
     )
-    c = tagged.select(F.col(id_col).alias("neighbor_id"), "band", "bucket")
+    cand_side = (
+        _cap_buckets(tagged, max_bucket, id_col) if max_bucket is not None else tagged
+    )
+    c = cand_side.select(F.col(id_col).alias("neighbor_id"), "band", "bucket")
     cand = (
         c.join(F.broadcast(q), ["band", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -182,7 +182,10 @@ def coerce_columns(df, columns: list[dict], *, keep: list[str] | None = None):
     """
     from .flatten import resolve_path
 
-    exprs = [F.col(c) for c in (keep or []) if c in df.columns]
+    declared = {spec["name"] for spec in columns}
+    exprs = [
+        F.col(c) for c in (keep or []) if c in df.columns and c not in declared
+    ]
     for spec in columns:
         name, typ = spec["name"], spec["type"]
         col, dt = resolve_path(df.schema, name)

@@ -17,6 +17,7 @@ import datetime
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .changelog import max_seq, scan_slice
@@ -113,6 +114,10 @@ class CDCEngine:
             log_df = read_log(spark, cfg.log_path, fmt=cfg.log_format)
             self._log_is_parquet_wal = cfg.log_format == "parquet"
         self.log = log_df
+        # string columns upgraded to timestamp by a dynamic re-guess, with
+        # their detected strftime formats: the engine parses them itself
+        # before the merge (a plain cast would NULL non-ISO formats)
+        self._dynamic_ts_formats: dict[str, str] = {}
         if IceboxTable.exists(cfg.table_path):
             self.table = IceboxTable.load(spark, cfg.table_path)
         else:
@@ -176,6 +181,9 @@ class CDCEngine:
                 continue
             if s["type"] == "timestamp" and isinstance(f.dataType, T.StringType):
                 fields.append(T.StructField(f.name, T.TimestampType(), True))
+                self._dynamic_ts_formats[f.name] = s.get(
+                    "format", "%Y-%m-%dT%H:%M:%S.%L%z"
+                )
             else:
                 fields.append(T.StructField(f.name, f.dataType, True))
         if not fields:
@@ -207,9 +215,29 @@ class CDCEngine:
                 if c in batch.columns]
         return coerce_columns(batch, self.cfg.columns, keep=keep)
 
+    def _apply_dynamic_ts(self, batch: DataFrame) -> DataFrame:
+        """Parse dynamic-reguess timestamp upgrades with their DETECTED
+        formats (coerce_timestamp handles %s and the non-ISO shapes a
+        Catalyst cast would silently NULL)."""
+        if not self._dynamic_ts_formats:
+            return batch
+        from .coerce import coerce_timestamp
+
+        out = batch
+        for name, fmt in self._dynamic_ts_formats.items():
+            if name in out.columns and isinstance(
+                out.schema[name].dataType, T.StringType
+            ):
+                out = out.withColumn(
+                    name, coerce_timestamp(F.col(name), T.StringType(), fmt)
+                )
+        return out
+
     def apply_batch(self, lo: int, hi: int) -> dict:
         t0 = time.time()
-        batch = self._project_declared(scan_slice(self.log, lo, hi))
+        batch = self._apply_dynamic_ts(
+            self._project_declared(scan_slice(self.log, lo, hi))
+        )
         changes = self._maybe_evolve(batch)
         batch_id = f"b-{lo}-{hi}"
         attempt, wait = 0, self.cfg.retry_initial_wait_sec

@@ -224,6 +224,18 @@ class IceboxTable:
         (tombstone rows win and are filtered by the caller)."""
         return lww_dedup(df, key=self.key, seq=SEQ_COL)
 
+    def _resolved(self, snap: dict, entries: list[dict], *, where=None) -> DataFrame:
+        """Manifest slice → one winning row per key: read, (optionally)
+        pre-filter, fold LWW if delta files are present. Tombstone rows
+        remain for the caller to keep or drop — the shared tail of
+        read / read_keys / read_changes."""
+        df = self._read_manifest(snap, entries, with_seq=True)
+        if where is not None:
+            df = df.where(where)
+        if any(e.get("kind") == "delta" for e in entries):
+            df = self._resolve_lww(df)
+        return df
+
     def read(
         self,
         snapshot_id: int | None = None,
@@ -236,9 +248,7 @@ class IceboxTable:
         snap = self._snap
         if snapshot_id is not None:
             snap = self._snapshot_by_id(snapshot_id)
-        out = self._read_manifest(snap, snap["manifest"], with_seq=True)
-        if any(e.get("kind") == "delta" for e in snap["manifest"]):
-            out = self._resolve_lww(out)
+        out = self._resolved(snap, snap["manifest"])
         if not include_tombstones:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
@@ -291,9 +301,7 @@ class IceboxTable:
 
         def visible_state(snap: dict) -> DataFrame:
             entries = [e for e in snap["manifest"] if e["bucket"] in changed]
-            df = self._read_manifest(snap, entries, with_seq=True)
-            if any(e.get("kind") == "delta" for e in entries):
-                df = self._resolve_lww(df)
+            df = self._resolved(snap, entries)
             df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             return _normalize_to(df, current, evolved=False).select(
                 *payload_cols, SEQ_COL
@@ -345,10 +353,7 @@ class IceboxTable:
             for r in kdf.select(bucket_expr(self.key, nb).alias("b")).collect()
         }
         entries = [e for e in snap["manifest"] if e["bucket"] in buckets]
-        out = self._read_manifest(snap, entries, with_seq=True)
-        out = out.where(F.col(self.key).isin(list(keys)))
-        if any(e.get("kind") == "delta" for e in entries):
-            out = self._resolve_lww(out)
+        out = self._resolved(snap, entries, where=F.col(self.key).isin(list(keys)))
         out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
 

@@ -92,6 +92,7 @@ def run_stateful_lww(
     checkpoint_dir: str,
     query_name: str = "lww_state",
     max_files_per_trigger: int = 4,
+    allow_resume: bool = False,
 ) -> DataFrame:
     """Drain ``wal_path`` through the stateful operator into an in-memory
     sink (several triggers → cross-trigger state genuinely exercised) and
@@ -99,9 +100,24 @@ def run_stateful_lww(
 
     The update-mode memory sink accumulates every emitted revision; the
     final state is the max-seq row per key — resolved with the same
-    lww_dedup used everywhere else."""
+    lww_dedup used everywhere else.
+
+    A REUSED checkpoint resumes the source where it left off, so the fresh
+    memory sink only sees winners that changed since — an incremental
+    changed-winner set, NOT the full final state (which lives in the state
+    store). That is a different contract, so reuse raises unless
+    ``allow_resume=True`` opts into the incremental semantics."""
+    import os
+
     from .dedup import lww_dedup
 
+    if not allow_resume and os.path.exists(os.path.join(checkpoint_dir, "offsets")):
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r} already has progress: the memory "
+            "sink would only surface winners changed since the last drain. "
+            "Pass allow_resume=True for that incremental contract, or use a "
+            "fresh checkpoint_dir for the full final state."
+        )
     static = spark.read.parquet(wal_path)
     stream = (
         spark.readStream.schema(static.schema)

@@ -298,3 +298,27 @@ def test_capped_jaccard_matches_pure_model(spark):
     assert set(got) == set(expected)
     for k in got:
         assert abs(got[k] - expected[k]) < 1e-12
+
+
+def test_bucket_cap_downsamples_instead_of_starving(spark):
+    """Regression: a query living in a uniformly hot region must still get
+    (degraded) neighbors under max_bucket — hot buckets are downsampled,
+    not dropped."""
+    import random
+
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [
+        (i, [v + rng.uniform(-0.01, 0.01) for v in base])  # one dense cluster
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = lsh_ann_topk(df, n_queries=3, k=5, n_planes=4, n_bands=2,
+                       max_bucket=8).collect()
+    got_queries = {r["query_id"] for r in out}
+    assert got_queries == {0, 1, 2}  # nobody starved
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], 0)
+        per_q[r["query_id"]] += 1
+    assert all(1 <= v <= 5 for v in per_q.values())

@@ -557,3 +557,53 @@ def test_stats_driven_auto_compaction(spark, tmp_path):
         spark.read.parquet(log_path).toPandas()
     )
     oracle.assert_table_equal(eng.read_table().toPandas(), expected)
+
+
+def test_dynamic_schema_parses_non_iso_formats(spark, tmp_path):
+    """Regression: a dynamic re-guess upgrade must parse with the DETECTED
+    format — a plain cast NULLs epoch-seconds and slash dates silently."""
+    rows = [(i + 1, "upsert", f"D{i % 10}", str(1_700_000_000 + i), "05/03/2024")
+            for i in range(100)]
+    log = spark.createDataFrame(
+        rows, "seq: long, op: string, doc_id: string, epoch: string, slashed: string"
+    )
+    wal = str(tmp_path / "wal")
+    log.write.parquet(wal)
+    cfg = JobConfig(log_path=wal, table_path=str(tmp_path / "t"),
+                    batch_size=100, n_buckets=4, dynamic_schema=True)
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    got = eng.read_table()
+    assert dict(got.dtypes)["epoch"] == "timestamp"
+    assert dict(got.dtypes)["slashed"] == "timestamp"
+    rows_out = got.collect()
+    assert rows_out and all(r["epoch"] is not None for r in rows_out)
+    assert all(r["slashed"] is not None for r in rows_out)
+    import datetime as _dt
+    assert all(r["slashed"] == _dt.datetime(2024, 3, 5) for r in rows_out)
+
+
+def test_declared_columns_can_include_event_time(spark, tmp_path):
+    """Regression: declaring cfg.ts_col among the columns must not produce
+    a duplicate/ambiguous column in the merge."""
+    rows = [(i + 1, "upsert", f"D{i % 5}", f"2024-01-0{i % 9 + 1} 00:00:00")
+            for i in range(50)]
+    log = spark.createDataFrame(
+        rows, "seq: long, op: string, doc_id: string, ts: string"
+    )
+    wal = str(tmp_path / "wal")
+    log.write.parquet(wal)
+    cols = [
+        {"name": "doc_id", "type": "string"},
+        {"name": "ts", "type": "timestamp", "format": "%Y-%m-%d %H:%M:%S"},
+    ]
+    cfg = JobConfig(log_path=wal, table_path=str(tmp_path / "t"),
+                    batch_size=25, n_buckets=4, columns=cols)
+    eng = CDCEngine(spark, cfg)
+    eng.run()  # used to raise AMBIGUOUS_REFERENCE on max(ts)
+    got = eng.read_table()
+    assert got.columns.count("ts") == 1
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    assert got.count() == 5
+    # watermark metric rode the declared (coerced) event-time column
+    assert any(r.get("watermark_lag_sec") is not None for r in eng.metrics.records)
