@@ -143,10 +143,14 @@ def coerce_timestamp(col: Column, dt: T.DataType, fmt: str | None = None) -> Col
     fmt = fmt or DEFAULT_STRFTIME
     if _is(dt, (T.TimestampType,)):
         return col
-    if fmt.strip() == "%s":
-        # epoch seconds: strict integer parse (try_cast), null-on-error
+    if fmt.strip() in ("%s", "%Q"):
+        # epoch seconds (%s) / milliseconds (%Q, Ruby strftime):
+        # strict integer parse (try_cast), null-on-error
         if _is(dt, T.StringType) or _numeric(dt):
-            return F.timestamp_seconds(col.cast("string").try_cast("long"))
+            as_long = col.cast("string").try_cast("long")
+            if fmt.strip() == "%Q":
+                return F.timestamp_millis(as_long)
+            return F.timestamp_seconds(as_long)
         return F.lit(None).cast("timestamp")
     java_fmt = strftime_to_java(fmt)
     if _is(dt, T.StringType) or _numeric(dt) or _is(dt, T.BooleanType):

@@ -40,9 +40,11 @@ _TS_PATTERNS = [
     (re.compile(r"^\d{4}\.\d{2}\.\d{2}$"), "%Y.%m.%d"),
 ]
 
-# unix epoch seconds: all-digit strings inside a sane range
-# (2000-01-01 .. 2039-12-31) guess as timestamp '%s'
+# unix epoch: all-digit strings inside a sane range
+# (2000-01-01 .. 2039-12-31) guess as timestamp — 10 digits as seconds
+# ('%s'), 13 digits as milliseconds ('%Q')
 _EPOCH_RE = re.compile(r"^\d{10}$")
+_EPOCH_MS_RE = re.compile(r"^\d{13}$")
 _EPOCH_LO, _EPOCH_HI = 946_684_800, 2_208_988_800
 
 
@@ -89,6 +91,12 @@ def guess_columns(sample: DataFrame, sample_n: int = GUESS_RECORDS_COUNT) -> lis
                     for v in vals
                 ):
                     spec = {"name": f.name, "type": "timestamp", "format": "%s"}
+                elif all(
+                    _EPOCH_MS_RE.match(v)
+                    and _EPOCH_LO * 1000 <= int(v) < _EPOCH_HI * 1000
+                    for v in vals
+                ):
+                    spec = {"name": f.name, "type": "timestamp", "format": "%Q"}
         specs.append(spec)
     return specs
 

@@ -135,3 +135,10 @@ def test_epoch_seconds_whole_pattern(spark):
     rows = coerce_columns(df, [{"name": "d", "type": "timestamp", "format": "%s"}]).collect()
     assert rows[0]["d"] == datetime.datetime(2023, 11, 14, 22, 13, 20)  # UTC session
     assert rows[1]["d"] is None and rows[2]["d"] is None and rows[3]["d"] is None
+
+
+def test_epoch_millis_whole_pattern(spark):
+    df = spark.createDataFrame([("1700000000123",), ("nope",)], "d: string")
+    rows = coerce_columns(df, [{"name": "d", "type": "timestamp", "format": "%Q"}]).collect()
+    assert rows[0]["d"] == datetime.datetime(2023, 11, 14, 22, 13, 20, 123000)
+    assert rows[1]["d"] is None

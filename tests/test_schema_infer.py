@@ -116,3 +116,8 @@ def test_string_widens_to_timestamp_for_dynamic_reguess():
     b = T.StructType([T.StructField("created", T.TimestampType())])
     evolved, changes = detect_evolution(a, b)
     assert changes == ["widen created: string -> timestamp"]
+
+
+def test_guess_epoch_millis(spark):
+    df = spark.createDataFrame([("1700000000123",)], "a: string")
+    assert guess_columns(df)[0] == {"name": "a", "type": "timestamp", "format": "%Q"}
