@@ -30,19 +30,35 @@ OUTPUT_SCHEMA = (
 )
 
 
-def streaming_lww(stream: DataFrame, *, key: str = "doc_id") -> DataFrame:
+def streaming_lww(
+    stream: DataFrame, *, key: str = "doc_id", state_ttl_ms: int | None = None
+) -> DataFrame:
     """Apply the stateful LWW operator to a streaming DataFrame of change
     events ``(doc_id, seq, op, n_tok, source, tokens)``. Returns the
     update-mode stream of changed winners.
+
+    ``state_ttl_ms`` bounds state-store growth: a key idle longer than the
+    TTL is evicted (processing-time timeout). At 10^10 doc_ids the state
+    store cannot hold every key forever; eviction is SAFE whenever the
+    downstream sink fences late events older than the TTL (the icebox LSN
+    fence) — an evicted key's next event simply re-seeds state and is
+    re-emitted, and the sink's own LWW/fence absorbs the re-emission.
 
     The update function is a self-contained closure (pickled by VALUE):
     a module-level def would pickle by reference and require the sparkcdc
     package importable on every python worker, which plain drivers without
     ``spark-submit --py-files`` don't guarantee."""
 
+    ttl = state_ttl_ms
+
     def lww_update(k, pdfs: Iterator[pd.DataFrame], state: GroupState):
         import pandas as _pd
 
+        if state.hasTimedOut:
+            for _ in pdfs:  # Arrow protocol: the batch iterator must drain
+                pass
+            state.remove()  # idle key evicted — bounds the state store
+            return
         best = tuple(state.get) if state.exists else None
         best_seq = int(best[0]) if best else -1
         changed = False
@@ -63,6 +79,9 @@ def streaming_lww(stream: DataFrame, *, key: str = "doc_id") -> DataFrame:
                 changed = True
         if changed:
             state.update(best)
+        if ttl is not None and state.exists:
+            state.setTimeoutDuration(ttl)
+        if changed:
             yield _pd.DataFrame(
                 [
                     {
@@ -81,7 +100,9 @@ def streaming_lww(stream: DataFrame, *, key: str = "doc_id") -> DataFrame:
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "update",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -92,7 +113,6 @@ def run_stateful_lww(
     checkpoint_dir: str,
     query_name: str = "lww_state",
     max_files_per_trigger: int = 4,
-    allow_resume: bool = False,
 ) -> DataFrame:
     """Drain ``wal_path`` through the stateful operator into an in-memory
     sink (several triggers → cross-trigger state genuinely exercised) and
@@ -102,21 +122,23 @@ def run_stateful_lww(
     final state is the max-seq row per key — resolved with the same
     lww_dedup used everywhere else.
 
-    A REUSED checkpoint resumes the source where it left off, so the fresh
-    memory sink only sees winners that changed since — an incremental
-    changed-winner set, NOT the full final state (which lives in the state
-    store). That is a different contract, so reuse raises unless
-    ``allow_resume=True`` opts into the incremental semantics."""
+    A REUSED checkpoint cannot work here at all: Spark's memory sink does
+    not support checkpoint recovery, and even if it did, the fresh sink
+    would only see winners changed since the last drain — not the full
+    final state (which lives in the state store). Reuse therefore raises;
+    for a resumable/continuous pipeline feed ``streaming_lww`` into your
+    own recoverable sink (e.g. foreachBatch), as `streaming.run_streaming`
+    does for the merge path."""
     import os
 
     from .dedup import lww_dedup
 
-    if not allow_resume and os.path.exists(os.path.join(checkpoint_dir, "offsets")):
+    if os.path.exists(os.path.join(checkpoint_dir, "offsets")):
         raise ValueError(
             f"checkpoint {checkpoint_dir!r} already has progress: the memory "
-            "sink would only surface winners changed since the last drain. "
-            "Pass allow_resume=True for that incremental contract, or use a "
-            "fresh checkpoint_dir for the full final state."
+            "sink cannot recover from a checkpoint and would surface only an "
+            "incremental changed-winner set. Use a fresh checkpoint_dir (full "
+            "drain) or wire streaming_lww into a recoverable sink."
         )
     static = spark.read.parquet(wal_path)
     stream = (

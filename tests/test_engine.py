@@ -607,3 +607,49 @@ def test_declared_columns_can_include_event_time(spark, tmp_path):
     assert got.count() == 5
     # watermark metric rode the declared (coerced) event-time column
     assert any(r.get("watermark_lag_sec") is not None for r in eng.metrics.records)
+
+
+def test_stateful_lww_ttl_evicts_idle_state(spark, tmp_path):
+    """state_ttl_ms bounds the state store in a CONTINUOUS query: an idle
+    key is evicted by the processing-time timeout, so a LATE lower-seq
+    event afterwards re-seeds state and is re-emitted (the documented
+    trade — a downstream fence absorbs it). Note availableNow triggers
+    never terminate with pending processing-time timeouts, so TTL is a
+    continuous-tail feature by construction."""
+    import time as _time
+
+    from sparkcdc.stateful import streaming_lww
+
+    schema = ("seq bigint, op string, doc_id string, n_tok int, source string, "
+              "tokens array<int>")
+    wal = str(tmp_path / "wal")
+    spark.createDataFrame([(10, "upsert", "K", 1, "s", [1])], schema).write.parquet(wal)
+    emitted = []
+    stream = spark.readStream.schema(spark.read.parquet(wal).schema).parquet(wal)
+    q = (
+        streaming_lww(stream, state_ttl_ms=300)
+        .writeStream.foreachBatch(
+            lambda df, _eid: emitted.extend(
+                (r["doc_id"], r["seq"]) for r in df.collect()
+            )
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="400 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and ("K", 10) not in emitted:
+            _time.sleep(0.3)
+        assert ("K", 10) in emitted
+        _time.sleep(3)  # several empty triggers: TTL fires, state evicted
+        spark.createDataFrame([(5, "upsert", "K", 2, "s", [2])], schema) \
+            .write.mode("append").parquet(wal)
+        deadline = _time.time() + 60
+        while _time.time() < deadline and ("K", 5) not in emitted:
+            _time.sleep(0.3)
+        # late lower-seq event re-seeded evicted state and was re-emitted
+        assert ("K", 5) in emitted
+    finally:
+        q.stop()
