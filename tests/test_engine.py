@@ -653,3 +653,34 @@ def test_stateful_lww_ttl_evicts_idle_state(spark, tmp_path):
         assert ("K", 5) in emitted
     finally:
         q.stop()
+
+
+def test_chaos_auto_mode_scenario(spark, tmp_path):
+    """The chaos scenario under merge_mode=auto + stats-driven compaction:
+    duplicates + shuffle + hot key + mid-stream evolution + kill/resume,
+    with the engine choosing COW/MOR per batch and folding deltas on its
+    own. Final state must still equal the oracle byte-for-byte."""
+    v1 = generate_changelog(spark, 3_000, 250, seed=63, dup_pct=15,
+                            shuffled=True, hot_key_pct=40, schema_version=1)
+    v2 = generate_changelog(spark, 6_000, 250, seed=63, dup_pct=15,
+                            shuffled=True, hot_key_pct=40,
+                            schema_version=2).where(F.col("seq") > 3_000)
+    tbl = str(tmp_path / "tbl")
+    cfg = dict(log_path="unused", table_path=tbl, batch_size=500,
+               merge_mode="auto", compact_delta_files=10, n_buckets=8)
+    CDCEngine(spark, JobConfig(**cfg), log_df=v1).run(max_batches=3)
+    CDCEngine(spark, JobConfig(**cfg), log_df=v1).run()
+    CDCEngine(spark, JobConfig(**cfg), log_df=v2).run(max_batches=2)
+    eng = CDCEngine(spark, JobConfig(**cfg), log_df=v2)
+    eng.run()
+
+    plans = {r.get("merge_plan", "").split("+")[-1]
+             for r in eng.metrics.records if r.get("kind") == "batch"}
+    full = v1.withColumn("lang", F.lit(None).cast("string")).withColumn(
+        "n_tok", F.col("n_tok").cast("long")).unionByName(v2)
+    expected = oracle.replay(full.toPandas(),
+                             value_cols=["tokens", "n_tok", "source", "lang"])
+    got = eng.read_table().toPandas()
+    got["n_tok"] = got["n_tok"].astype("int64")
+    expected["n_tok"] = expected["n_tok"].astype("int64")
+    oracle.assert_table_equal(got, expected)
