@@ -47,12 +47,22 @@ def run_streaming(
         changes = engine._maybe_evolve(batch_df)
         # unordered file delivery: no global LSN fence; deletes persist as
         # tombstones so late lower-seq updates cannot resurrect rows
+        # cost-based write per micro-batch (mor=None): steady-state stream
+        # batches are small relative to the table and land as MOR deltas;
+        # the initial backfill batches go copy-on-write
         m = engine.table.merge(
             batch_df, f"stream-epoch-{epoch_id}", seq_col=cfg.seq_col, op_col=cfg.op_col,
-            ts_col=cfg.ts_col, fence=False, tombstones=True,
+            ts_col=cfg.ts_col, fence=False, tombstones=True, mor=None,
         )
         engine.metrics.emit({"kind": "stream-batch", "epoch": epoch_id,
                              "schema_changes": changes, **m})
+        if cfg.compact_delta_files is not None:
+            n_delta = sum(
+                1 for e in engine.table.snapshot["manifest"]
+                if e.get("kind") == "delta"
+            )
+            if n_delta > cfg.compact_delta_files:
+                engine.metrics.emit({"kind": "compact", **engine.table.compact()})
 
     stream = (
         spark.readStream.schema(static.schema)

@@ -684,3 +684,23 @@ def test_chaos_auto_mode_scenario(spark, tmp_path):
     got["n_tok"] = got["n_tok"].astype("int64")
     expected["n_tok"] = expected["n_tok"].astype("int64")
     oracle.assert_table_equal(got, expected)
+
+
+def test_streaming_auto_mode_with_compaction(spark, tmp_path):
+    """Streaming path with cost-based writes: steady-state micro-batches
+    land as MOR deltas and compact_delta_files folds them; the drained
+    table still equals the oracle."""
+    from sparkcdc.streaming import run_streaming
+
+    log = generate_changelog(spark, 4_000, 300, seed=65, dup_pct=10)
+    log_dir = str(tmp_path / "wal")
+    # many small files → many small stream epochs after the first
+    log.repartition(24).write.parquet(log_dir)
+    cfg = JobConfig(log_path=log_dir, table_path=str(tmp_path / "tbl"),
+                    n_buckets=8, compact_delta_files=16)
+    run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+    t = IceboxTable.load(spark, cfg.table_path)
+    n_delta = sum(1 for e in t.snapshot["manifest"] if e.get("kind") == "delta")
+    assert n_delta <= 16 + cfg.n_buckets  # compaction kept deltas bounded
+    expected = oracle.replay(spark.read.parquet(log_dir).toPandas())
+    oracle.assert_table_equal(t.read().toPandas(), expected)
