@@ -297,6 +297,39 @@ def q_cdc_replay_engine(spark, sf_dir):
     return eng.read_table().select("doc_id", "n_tok", "source")
 
 
+def q_cdc_multiwriter_merge(spark, sf_dir):
+    """Round-3 multi-writer safety as a gate row: two STALE table handles
+    (both pinned at snapshot 0) merge DISJOINT bucket ranges of the same
+    change log; the loser of the commit-file race REBASES its
+    bucket-granular delta past the winner (sparkcdc/icebox.py:_try_commit
+    — conflict_retries=0 proves no recompute happened) and the final
+    table equals the serial LWW oracle. The reference dodges this whole
+    problem class by pinning taskCount=1 (JiraInputPlugin.java:125)."""
+    import pyspark.sql.types as T
+
+    from sparkcdc.icebox import IceboxTable, bucket_expr
+
+    log = _derived_log(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sparkcdc-mw-")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    path = os.path.join(work, "tbl")
+    IceboxTable.create(spark, path, schema, key="doc_id", n_buckets=16)
+    a = IceboxTable.load(spark, path)
+    b = IceboxTable.load(spark, path)
+    half = bucket_expr("doc_id", 16) < 8
+    a.merge(log.where(half), "writer-a", ts_col="ts")
+    b.merge(log.where(~half), "writer-b", ts_col="ts", conflict_retries=0)
+    return IceboxTable.load(spark, path).read().select("doc_id", "n_tok", "source")
+
+
 def q_cdc_incremental_read(spark, sf_dir):
     """CDC out: net row-level changes between the snapshot after the first
     merge and the final table state (icebox.read_changes) — upserts carry
@@ -545,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": q_cdc_merge_upsert,
         "cdc_anti_join_deleted": q_cdc_anti_join_deleted,
         "cdc_replay_engine": q_cdc_replay_engine,
+        "cdc_multiwriter_merge": q_cdc_multiwriter_merge,
         "cdc_stateful_lww": q_cdc_stateful_lww,
         "cdc_incremental_read": q_cdc_incremental_read,
         "t8_tumbling_window": q_t8_tumbling_window,
@@ -785,6 +819,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM ranked WHERE rn = 1 AND op = 'delete'
         """,
         "cdc_replay_engine": _FINAL_STATE_SQL + """
+            SELECT doc_id, n_tok, source
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # two concurrent writers over disjoint bucket halves converge to
+        # the SAME serial LWW state — the oracle is replay-order-blind
+        "cdc_multiwriter_merge": _FINAL_STATE_SQL + """
             SELECT doc_id, n_tok, source
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,

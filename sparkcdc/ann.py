@@ -230,6 +230,20 @@ def _band_tagged(
     return tagged
 
 
+def default_bucket_cap(n_rows: int, n_buckets_per_band: int) -> int:
+    """Computed skew cap: ~8× the uniform expected bucket size, floored at
+    512 so small corpora are never touched. A bucket only hits this cap
+    when it is ≫ uniform — exactly the pathological hot region the cap
+    exists to refuse (bounding its O(b²) pair join; recall degrades only
+    THERE, by design). Callers default ``max_bucket=None`` to this value,
+    so a user at 10⁹ vectors gets a bounded plan out of the box; pass
+    ``max_bucket=0`` to explicitly disable capping (exactness / oracle
+    mode at small scale)."""
+    import math
+
+    return max(512, math.ceil(8 * n_rows / max(1, n_buckets_per_band)))
+
+
 def _cap_buckets(tagged: DataFrame, max_bucket: int, id_col: str) -> DataFrame:
     """Skew backstop: downsample every oversized (band, bucket) group to a
     DETERMINISTIC max_bucket-row sample (xxhash64 order) instead of
@@ -262,14 +276,19 @@ def cosine_near_dup_pairs(
     BEFORE the cosine so each pair is verified once; the bucket join (not
     an all-pairs cross) is the scale path for embedding-level dedup. At
     10⁹ vectors size n_planes so buckets stay executor-sized (2^planes
-    buckets/band) and set max_bucket as the skew backstop (hot buckets are
-    deterministically downsampled on BOTH sides: an over-dense region's
-    O(b²) pair set is exactly what the cap exists to refuse; pair recall in
-    capped regions degrades and that is the documented trade)."""
+    buckets/band); the skew backstop DEFAULTS ON: ``max_bucket=None``
+    computes ~8× the uniform bucket size (``default_bucket_cap``), so an
+    over-dense region's O(b²) pair set is refused out of the box — hot
+    buckets are deterministically downsampled on BOTH sides and pair
+    recall degrades only there (documented trade). ``max_bucket=0``
+    disables the cap (exactness / oracle mode)."""
     dim = len(emb.select(vec_col).first()[0])
+    if max_bucket is None:
+        max_bucket = default_bucket_cap(emb.count(), 2 ** n_planes)
     tagged = _band_tagged(
         emb, id_col=id_col, vec_col=vec_col, dim=dim,
-        n_planes=n_planes, n_bands=n_bands, seed=seed, max_bucket=max_bucket,
+        n_planes=n_planes, n_bands=n_bands, seed=seed,
+        max_bucket=max_bucket if max_bucket > 0 else None,
     )
     a = tagged.select(F.col(id_col).alias("id1"), "band", "bucket")
     b = tagged.select(F.col(id_col).alias("id2"), "band", "bucket")
@@ -305,8 +324,12 @@ def lsh_ann_topk(
 
     ``max_bucket`` downsamples the CANDIDATE side of hot buckets — a query
     whose bucket is hot still probes it and gets degraded-but-nonempty
-    results instead of silently vanishing from the output."""
+    results instead of silently vanishing from the output. Defaults ON:
+    ``None`` computes ~8× the uniform bucket size (``default_bucket_cap``);
+    ``0`` disables the cap (exactness / oracle mode)."""
     dim = len(emb.select(vec_col).first()[0])
+    if max_bucket is None:
+        max_bucket = default_bucket_cap(emb.count(), 2 ** n_planes)
     tagged = _band_tagged(
         emb, id_col=id_col, vec_col=vec_col, dim=dim,
         n_planes=n_planes, n_bands=n_bands, seed=seed, max_bucket=None,
@@ -314,9 +337,7 @@ def lsh_ann_topk(
     q = tagged.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), "band", "bucket"
     )
-    cand_side = (
-        _cap_buckets(tagged, max_bucket, id_col) if max_bucket is not None else tagged
-    )
+    cand_side = _cap_buckets(tagged, max_bucket, id_col) if max_bucket > 0 else tagged
     c = cand_side.select(F.col(id_col).alias("neighbor_id"), "band", "bucket")
     cand = (
         c.join(F.broadcast(q), ["band", "bucket"])

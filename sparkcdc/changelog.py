@@ -15,6 +15,8 @@ until an action) and a 10^4-event unit-test log.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -101,24 +103,24 @@ def generate_changelog(
     return df
 
 
-def scan_slice(log: DataFrame, lo: int, hi: int) -> DataFrame:
+def scan_slice(log: DataFrame, lo: int, hi: int, *, seq_col: str = "seq") -> DataFrame:
     """Micro-batch scan of the half-open LSN range (lo, hi].
 
     The engine analog of one `searchIssues(task, startAt, maxResults)` page
     (client/JiraClient.java:67-84) — but evaluated as a pushed-down parquet /
     plan predicate, not a blocking round trip.
     """
-    return log.where((F.col("seq") > F.lit(lo)) & (F.col("seq") <= F.lit(hi)))
+    return log.where((F.col(seq_col) > F.lit(lo)) & (F.col(seq_col) <= F.lit(hi)))
 
 
-def max_seq(log: DataFrame) -> int:
+def max_seq(log: DataFrame, *, seq_col: str = "seq") -> int:
     """Count-probe analog (client/JiraClient.java:86-89): cheap max-LSN probe
     used for batch planning instead of a total-count request."""
-    row = log.agg(F.max("seq").alias("m")).collect()[0]
+    row = log.agg(F.max(seq_col).alias("m")).collect()[0]
     return int(row["m"]) if row["m"] is not None else 0
 
 
-def max_seq_parquet_stats(path: str) -> int | None:
+def max_seq_parquet_stats(path: str, *, seq_col: str = "seq") -> int | None:
     """Max LSN from parquet footer min/max statistics — no Spark job, no
     data scan. A WAL directory holds O(files) footers; reading them
     (threaded) is microseconds per file vs a full-column scan per run,
@@ -137,7 +139,7 @@ def max_seq_parquet_stats(path: str) -> int | None:
     def fmax(fpath: str) -> int | None:
         md = pq.ParquetFile(fpath).metadata
         col_idx = next(
-            (j for j in range(md.num_columns) if md.schema.column(j).name == "seq"),
+            (j for j in range(md.num_columns) if md.schema.column(j).name == seq_col),
             None,
         )
         if col_idx is None:
@@ -157,15 +159,94 @@ def max_seq_parquet_stats(path: str) -> int | None:
     return max(vals)
 
 
-def write_log_parquet(log: DataFrame, path: str, *, partitions: int | None = None) -> None:
+def _scan_json_max_by_file(spark: SparkSession, files: list[str], schema,
+                           seq_col: str) -> dict[str, int]:
+    """One Spark job over ONLY the given JSON segment files → per-file max
+    LSN (grouped by input_file_name)."""
+    from urllib.parse import unquote, urlparse
+
+    df = spark.read.schema(schema).json(files)
+    rows = (
+        df.groupBy(F.input_file_name().alias("_f"))
+        .agg(F.max(seq_col).alias("mx"))
+        .collect()
+    )
+    out: dict[str, int] = {}
+    for r in rows:
+        p = r["_f"]
+        if "://" in p or p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        out[os.path.abspath(p)] = int(r["mx"]) if r["mx"] is not None else 0
+    return out
+
+
+def max_seq_json_stats(
+    spark: SparkSession,
+    path: str,
+    schema,
+    cache_path: str,
+    *,
+    seq_col: str = "seq",
+) -> int | None:
+    """Planning-time max LSN for a JSON-lines WAL without a per-run full
+    scan: a driver-side sidecar caches (mtime, size) → max-LSN per segment
+    file; only NEW or CHANGED segments are scanned (one bounded Spark job),
+    and an unchanged WAL plans from the cache with zero jobs — the JSON
+    analog of the parquet footer-stats fast path. Returns None when the
+    directory holds no JSON segments (caller falls back to a scan)."""
+    import glob as _glob
+    import json as _json
+    import uuid as _uuid
+
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.json"))
+        + _glob.glob(os.path.join(path, "*.jsonl"))
+    )
+    if not files:
+        return None
+    cache: dict = {}
+    if os.path.exists(cache_path):
+        try:
+            with open(cache_path) as fh:
+                cache = _json.load(fh)
+        except (OSError, ValueError):
+            cache = {}
+
+    def sig(f: str) -> list:
+        st = os.stat(f)
+        return [st.st_mtime, st.st_size]
+
+    fresh: dict[str, dict] = {}
+    stale: list[str] = []
+    for f in files:
+        fp = os.path.abspath(f)
+        ent = cache.get(fp)
+        if ent and ent.get("sig") == sig(f):
+            fresh[fp] = ent
+        else:
+            stale.append(fp)
+    if stale:
+        scanned = _scan_json_max_by_file(spark, stale, schema, seq_col)
+        for fp in stale:
+            fresh[fp] = {"sig": sig(fp), "max_seq": scanned.get(fp, 0)}
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    tmp = f"{cache_path}.tmp-{_uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        _json.dump(fresh, fh)
+    os.replace(tmp, cache_path)
+    return max(e["max_seq"] for e in fresh.values())
+
+
+def write_log_parquet(log: DataFrame, path: str, *, partitions: int | None = None,
+                      seq_col: str = "seq") -> None:
     """Materialize a generated log as the on-disk WAL the engine tails.
 
-    Segments are range-partitioned and sorted by ``seq`` — like a real
-    binlog/WAL — so each file covers a disjoint LSN range and a micro-batch
-    slice scan prunes whole files via parquet min/max stats instead of
-    scanning the full log."""
-    out = log.repartitionByRange(partitions, "seq") if partitions else log.repartitionByRange("seq")
-    out.sortWithinPartitions("seq").write.mode("overwrite").parquet(path)
+    Segments are range-partitioned and sorted by the LSN column — like a
+    real binlog/WAL — so each file covers a disjoint LSN range and a
+    micro-batch slice scan prunes whole files via parquet min/max stats
+    instead of scanning the full log."""
+    out = log.repartitionByRange(partitions, seq_col) if partitions else log.repartitionByRange(seq_col)
+    out.sortWithinPartitions(seq_col).write.mode("overwrite").parquet(path)
 
 
 LOG_SCHEMA_DDL_V1 = (

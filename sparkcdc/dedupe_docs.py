@@ -223,10 +223,30 @@ def simhash64(text: pd.Series) -> pd.Series:
     return text.map(sh)
 
 
-def simhash_near_pairs(df: DataFrame, *, max_hamming: int = 4, text_col: str = "text") -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    max_hamming: int = 4,
+    text_col: str = "text",
+    max_chunk: int | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
     (pigeonhole: hamming ≤ 4 pairs almost always share a chunk at ≤3
-    flipped chunks), join on chunk equality, verify exact hamming."""
+    flipped chunks), join on chunk equality, verify exact hamming.
+
+    The chunk self-join carries the same hot-bucket skew guard as the
+    embedding LSH paths, DEFAULTED ON: a corpus mass (e.g. empty /
+    near-empty docs, which all hash to one constant simhash) would put b
+    docs into one chunk bucket → O(b²) candidate pairs. ``max_chunk=None``
+    computes ~8× the uniform chunk population (65536 chunk values/band,
+    floored at 512 so small corpora are untouched); oversized chunk
+    groups are deterministically downsampled (xxhash64 order) on both
+    join sides — recall degrades only in the pathological region.
+    ``max_chunk=0`` disables the cap (exactness / oracle mode)."""
+    from .ann import default_bucket_cap
+
+    if max_chunk is None:
+        max_chunk = default_bucket_cap(df.count(), 65536)
     h = df.select("doc_id", simhash64(F.col(text_col)).alias("sim"))
     # band the bits into (idx, value) chunks — both must match to be a candidate
     chunks = h.select(
@@ -235,6 +255,15 @@ def simhash_near_pairs(df: DataFrame, *, max_hamming: int = 4, text_col: str = "
             F.array(*[F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
         ).alias("chunk_idx", "chunk"),
     )
+    if max_chunk > 0:
+        w = Window.partitionBy("chunk_idx", "chunk").orderBy(
+            F.abs(F.xxhash64(F.col("doc_id"))), F.col("doc_id")
+        )
+        chunks = (
+            chunks.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_chunk)
+            .drop("_rn")
+        )
     x = chunks.alias("x")
     y = chunks.alias("y")
     cand = (

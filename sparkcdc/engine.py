@@ -14,6 +14,7 @@ snapshot and re-applies only uncommitted ranges; re-commits are no-ops.
 from __future__ import annotations
 
 import datetime
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -107,12 +108,14 @@ class CDCEngine:
         self.spark = spark
         self.cfg = cfg.validate()
         self._log_is_parquet_wal = False
+        self._log_is_json_wal = False
         if log_df is None:
             from .changelog import read_log
 
             cfg.check_source()
             log_df = read_log(spark, cfg.log_path, fmt=cfg.log_format)
             self._log_is_parquet_wal = cfg.log_format == "parquet"
+            self._log_is_json_wal = cfg.log_format == "json"
         self.log = log_df
         # string columns upgraded to timestamp by a dynamic re-guess, with
         # their detected strftime formats: the engine parses them itself
@@ -140,9 +143,21 @@ class CDCEngine:
         if self._log_is_parquet_wal:
             from .changelog import max_seq_parquet_stats
 
-            hi = max_seq_parquet_stats(self.cfg.log_path)
+            hi = max_seq_parquet_stats(self.cfg.log_path, seq_col=self.cfg.seq_col)
+        elif self._log_is_json_wal:
+            # JSON WALs have no footer statistics; keep planning O(new
+            # segments) with a driver-side per-file max-LSN sidecar (only
+            # files whose mtime/size changed since the last plan are
+            # scanned — an unchanged WAL plans with ZERO Spark jobs)
+            from .changelog import max_seq_json_stats
+
+            hi = max_seq_json_stats(
+                self.spark, self.cfg.log_path, self.log.schema,
+                os.path.join(self.cfg.table_path, "metadata", "wal_stats.json"),
+                seq_col=self.cfg.seq_col,
+            )
         if hi is None:
-            hi = max_seq(self.log)
+            hi = max_seq(self.log, seq_col=self.cfg.seq_col)
         b = self.cfg.batch_size
         return [(lo, min(lo + b, hi)) for lo in range(last, hi, b)]
 
@@ -164,14 +179,34 @@ class CDCEngine:
             # (setColumns semantics, JiraInputPlugin.java:108-123), keeping
             # the merge key present
             new_cols = [s for s in specs if s["name"] not in sys_cols]
+            # the merge key's declared type is PINNED: a sample whose key
+            # values happen to look like epoch timestamps must not rewrite
+            # a numeric-ID key column as timestamps mid-stream
+            declared = {c["name"]: c for c in self.cfg.columns}
+            new_cols = [
+                declared[s["name"]] if s["name"] == self.cfg.key else s
+                for s in new_cols
+            ]
             if new_cols and self.cfg.key in {s["name"] for s in new_cols}:
-                self.cfg.columns = new_cols
+                # evolve FIRST: if the re-guess implies an incompatible
+                # change, detect_evolution raises and the caller-owned
+                # JobConfig keeps its previous (adopted) column set
                 evolved, changes = detect_evolution(
                     self.table.schema, schema_from_columns(new_cols)
                 )
                 if evolved is not None:
                     self.table.update_schema(evolved)
+                self.cfg.columns = new_cols
                 return changes
+            # a key-less guess is rejected, visibly (not a silent no-op):
+            # operators see WHY the per-run re-guess did not take effect
+            self.metrics.emit(
+                {
+                    "kind": "dynamic-schema-rejected",
+                    "reason": f"re-guess dropped the merge key {self.cfg.key!r}",
+                    "guessed_columns": [s["name"] for s in specs],
+                }
+            )
             return []
         by_name = {f.name: f for f in self.log.schema.fields}
         fields = []
@@ -179,7 +214,11 @@ class CDCEngine:
             f = by_name.get(s["name"])
             if f is None or f.name in sys_cols:
                 continue
-            if s["type"] == "timestamp" and isinstance(f.dataType, T.StringType):
+            if (
+                s["type"] == "timestamp"
+                and isinstance(f.dataType, T.StringType)
+                and f.name != self.cfg.key  # key type is pinned (see above)
+            ):
                 fields.append(T.StructField(f.name, T.TimestampType(), True))
                 self._dynamic_ts_formats[f.name] = s.get(
                     "format", "%Y-%m-%dT%H:%M:%S.%L%z"
@@ -236,7 +275,9 @@ class CDCEngine:
     def apply_batch(self, lo: int, hi: int) -> dict:
         t0 = time.time()
         batch = self._apply_dynamic_ts(
-            self._project_declared(scan_slice(self.log, lo, hi))
+            self._project_declared(
+                scan_slice(self.log, lo, hi, seq_col=self.cfg.seq_col)
+            )
         )
         changes = self._maybe_evolve(batch)
         batch_id = f"b-{lo}-{hi}"
@@ -319,7 +360,8 @@ class CDCEngine:
 
     def preview(self, n: int = PREVIEW_RECORDS_COUNT) -> DataFrame:
         last = int(self.table.lineage["last_applied_lsn"])
-        nxt = scan_slice(self.log, last, last + self.cfg.batch_size)
+        nxt = scan_slice(self.log, last, last + self.cfg.batch_size,
+                         seq_col=self.cfg.seq_col)
         return self._project_declared(nxt).orderBy(self.cfg.seq_col).limit(n)
 
     def read_table(self) -> DataFrame:

@@ -6,10 +6,24 @@ Iceberg-shaped API (`merge`, `update_schema`, snapshots, time travel) so a
 real catalog can be swapped in later:
 
   * immutable data files + per-snapshot manifest (file list w/ bucket + schema version)
-  * atomic commits: snapshot JSON written via tmp + os.replace, then the
-    VERSION pointer swapped the same way — readers never see a torn commit
+  * log-structured metadata: each commit writes ONLY a delta file
+    (`commit-<id>.json`: added entries + removed buckets + touched-bucket
+    lineage), with a full `checkpoint-<id>.json` every CHECKPOINT_EVERY
+    commits — commit metadata is O(touched buckets), independent of total
+    table file count (the Delta-Lake transaction-log shape; an inline
+    full-manifest snapshot would be O(table files) rewritten per
+    micro-batch — tens of MB per commit at 100 TB)
+  * optimistic concurrency: the commit file itself is the CAS —
+    ``os.link`` (atomic create-if-absent) publishes `commit-<id>.json`;
+    a writer that lost the race inspects the intervening commits and
+    REBASES (re-parents its bucket-granular delta) when touched-bucket
+    sets are disjoint, or raises CommitConflictError so the caller
+    recomputes — two concurrent writers (streaming merge + compact /
+    expire maintenance) can never silently lose a commit
   * idempotent commits fenced by batch_id: re-committing an already-applied
-    batch is a no-op (exactly-once under driver retry, north-rule T3)
+    batch is a no-op (exactly-once under driver retry, north-rule T3),
+    including the concurrent case (two drivers racing the same batch_id:
+    the loser detects the id in an intervening commit and skips)
   * lineage checkpoint `(bucket/partition, last_applied_lsn)` stored inside
     the snapshot, i.e. transactionally with the data it describes (T7)
   * schema evolution commits (add column / widen type), every historical
@@ -52,6 +66,29 @@ DELETED_COL = "_deleted"  # system column: tombstone marker
 # fence drops all its events, so the re-commit is an empty no-op merge;
 # streaming replays only touch the most recent epochs (checkpoint).
 MAX_FENCE_IDS = 10_000
+
+# Full-snapshot checkpoint cadence in the metadata commit log: loading the
+# current state folds at most this many delta files onto the newest
+# checkpoint, and the amortized per-commit metadata cost is
+# O(touched buckets) + O(table files / CHECKPOINT_EVERY).
+CHECKPOINT_EVERY = 20
+
+# Rebase budget for a single optimistic commit before giving up (each
+# iteration re-parents past ONE intervening disjoint commit).
+MAX_REBASES = 32
+
+
+class CommitConflictError(RuntimeError):
+    """Optimistic commit lost the race to a conflicting writer (overlapping
+    touched buckets or concurrent schema change) — the caller must reload
+    table state and recompute its commit. merge()/compact() do this
+    automatically up to ``conflict_retries`` times."""
+
+
+class SnapshotExpiredError(ValueError):
+    """The requested snapshot is no longer in the metadata log (expired by
+    ``expire_snapshots``). Incremental consumers should ``register_consumer``
+    so expiration refuses to drop their from-snapshot."""
 
 
 def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
@@ -125,7 +162,8 @@ class IceboxTable:
             "lineage": {"last_applied_lsn": 0, "per_bucket": {}},
             "summary": {"operation": "create", "total_rows": 0},
         }
-        cls._write_snapshot(meta, snap)
+        cls._write_checkpoint(meta, snap)
+        cls._write_version(meta, 0)
         return cls(spark, path)
 
     @classmethod
@@ -136,27 +174,164 @@ class IceboxTable:
     def exists(path: str) -> bool:
         return os.path.exists(os.path.join(path, "metadata", "VERSION"))
 
-    def _load_current(self) -> dict:
-        with open(os.path.join(self._meta_dir, "VERSION")) as fh:
-            name = fh.read().strip()
-        with open(os.path.join(self._meta_dir, name)) as fh:
+    # -------- metadata commit log (delta files + checkpoints) --------
+
+    def _commit_path(self, sid: int) -> str:
+        return os.path.join(self._meta_dir, f"commit-{sid}.json")
+
+    def _checkpoint_path(self, sid: int) -> str:
+        return os.path.join(self._meta_dir, f"checkpoint-{sid}.json")
+
+    def _log_ids(self, kind: str) -> list[int]:
+        out = []
+        for p in glob.glob(os.path.join(self._meta_dir, f"{kind}-*.json")):
+            out.append(int(os.path.basename(p).rsplit("-", 1)[1].split(".")[0]))
+        return sorted(out)
+
+    def _history_ids(self) -> list[int]:
+        """All snapshot ids still materializable from the log."""
+        return sorted(set(self._log_ids("commit")) | set(self._log_ids("checkpoint")))
+
+    @staticmethod
+    def _read_json(path: str) -> dict:
+        with open(path) as fh:
             return json.load(fh)
 
     @staticmethod
-    def _write_snapshot(meta_dir: str, snap: dict) -> None:
-        name = f"snapshot-{snap['snapshot_id']}.json"
+    def _apply_delta(snap: dict, delta: dict) -> dict:
+        """Fold one commit delta onto a materialized snapshot. Removal is
+        bucket-granular (a COW/compact commit replaces every prior entry of
+        its touched buckets), which is what makes disjoint-bucket commits
+        rebase-commutative."""
+        removed = set(delta.get("removed_buckets", []))
+        manifest = [e for e in snap["manifest"] if e["bucket"] not in removed]
+        manifest.extend(delta.get("added", []))
+        lin = snap["lineage"]
+        dl = delta.get("lineage_delta")
+        per = dict(lin["per_bucket"])
+        last = int(lin["last_applied_lsn"])
+        if dl:
+            for b, v in dl["per_bucket"].items():
+                per[b] = max(int(per.get(b, 0)), int(v))
+            last = max(last, int(dl["last_applied_lsn"]))
+        batches = snap["committed_batches"]
+        if delta.get("batch_id"):
+            batches = (batches + [delta["batch_id"]])[-MAX_FENCE_IDS:]
+        return {
+            **snap,
+            "snapshot_id": delta["snapshot_id"],
+            "parent": delta["parent"],
+            "batch_id": delta.get("batch_id"),
+            "unordered_mode": snap.get("unordered_mode", False)
+            or delta.get("unordered", False),
+            "committed_batches": batches,
+            "manifest": manifest,
+            "lineage": {"last_applied_lsn": last, "per_bucket": per},
+            "schema_version": delta.get("schema_version", snap["schema_version"]),
+            "schemas": {**snap["schemas"], **delta.get("schemas_added", {})},
+            "summary": delta.get("summary", snap.get("summary", {})),
+        }
+
+    def _materialize(self, upto: int) -> dict:
+        """Snapshot state at id ``upto``: newest checkpoint ≤ upto + fold of
+        the (≤ CHECKPOINT_EVERY) commit deltas after it."""
+        ckpts = [c for c in self._log_ids("checkpoint") if c <= upto]
+        if not ckpts:
+            raise SnapshotExpiredError(
+                f"snapshot {upto} not found (expired?); "
+                f"available snapshots: {self._history_ids()}"
+            )
+        snap = self._read_json(self._checkpoint_path(ckpts[-1]))
+        for sid in range(ckpts[-1] + 1, upto + 1):
+            snap = self._apply_delta(snap, self._read_json(self._commit_path(sid)))
+        return snap
+
+    def _load_current(self) -> dict:
+        ids = self._history_ids()
+        if not ids:
+            raise FileNotFoundError(f"no table metadata under {self._meta_dir}")
+        return self._materialize(ids[-1])
+
+    def refresh(self) -> dict:
+        """Reload table state from the metadata log (pick up commits made
+        by OTHER writers since this handle last read it)."""
+        self._snap = self._load_current()
+        return self._snap
+
+    @staticmethod
+    def _write_checkpoint(meta_dir: str, snap: dict) -> None:
         tmp = os.path.join(meta_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(snap, fh)
-        os.replace(tmp, os.path.join(meta_dir, name))
-        tmp2 = os.path.join(meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp2, "w") as fh:
-            fh.write(name)
-        os.replace(tmp2, os.path.join(meta_dir, "VERSION"))
+        os.replace(tmp, os.path.join(meta_dir, f"checkpoint-{snap['snapshot_id']}.json"))
 
-    def _commit(self, snap: dict) -> None:
-        self._write_snapshot(self._meta_dir, snap)
-        self._snap = snap
+    @staticmethod
+    def _write_version(meta_dir: str, sid: int) -> None:
+        # best-effort cache of the newest id (existence marker + hint);
+        # the commit log itself is authoritative, so a stale VERSION after
+        # a lost pointer race is harmless
+        tmp = os.path.join(meta_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(str(sid))
+        os.replace(tmp, os.path.join(meta_dir, "VERSION"))
+
+    @staticmethod
+    def _delta_conflicts(ours: dict, theirs: dict) -> bool:
+        """True when two commit deltas do NOT commute. Bucket-granular:
+        a commit that REMOVES a bucket's entries (COW merge / compact)
+        conflicts with any other commit touching that bucket, because its
+        rewrite was computed without the other's rows. Pure-append commits
+        (MOR deltas) commute with each other even on the same bucket (read
+        resolves LWW across the union). Concurrent schema changes
+        serialize."""
+        if ours.get("schemas_added") and theirs.get("schemas_added"):
+            return True
+        ar = set(ours.get("removed_buckets", []))
+        br = set(theirs.get("removed_buckets", []))
+        ab = {e["bucket"] for e in ours.get("added", [])}
+        bb = {e["bucket"] for e in theirs.get("added", [])}
+        return bool(ar & (br | bb)) or bool(br & ab)
+
+    def _try_commit(self, delta: dict) -> dict | None:
+        """Optimistically publish a commit delta.
+
+        The atomic create of `commit-<id>.json` (os.link, create-if-absent)
+        is the CAS. Losing the race to a DISJOINT commit rebases: the delta
+        is bucket-granular, so re-parenting it past the winner yields the
+        same final state as a serial execution. Losing to an overlapping
+        commit raises CommitConflictError (caller recomputes). Returns the
+        new materialized snapshot, or None when an intervening commit
+        already carries this delta's batch_id (concurrent duplicate driver:
+        exactly-once, the re-commit is skipped)."""
+        parent = delta["parent"]
+        for _ in range(MAX_REBASES):
+            target = parent + 1
+            d = {**delta, "snapshot_id": target, "parent": parent}
+            tmp = os.path.join(self._meta_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(d, fh)
+            try:
+                os.link(tmp, self._commit_path(target))
+            except FileExistsError:
+                os.unlink(tmp)
+                theirs = self._read_json(self._commit_path(target))
+                if delta.get("batch_id") and theirs.get("batch_id") == delta["batch_id"]:
+                    return None
+                if self._delta_conflicts(delta, theirs):
+                    raise CommitConflictError(
+                        f"commit {target} lost to a conflicting writer "
+                        f"(op={theirs.get('operation')}, overlapping buckets "
+                        f"or schema change) — reload state and recompute"
+                    )
+                parent = target
+                continue
+            os.unlink(tmp)
+            self._snap = self._materialize(target)
+            if target % CHECKPOINT_EVERY == 0:
+                self._write_checkpoint(self._meta_dir, self._snap)
+            self._write_version(self._meta_dir, target)
+            return self._snap
+        raise CommitConflictError(f"gave up after {MAX_REBASES} rebases")
 
     # ---------------- introspection ----------------
 
@@ -182,11 +357,17 @@ class IceboxTable:
         return T.StructType.fromJson(json.loads(self._snap["schemas"][v]))
 
     def snapshots(self) -> list[dict]:
-        out = []
-        for p in sorted(glob.glob(os.path.join(self._meta_dir, "snapshot-*.json")),
-                        key=lambda p: int(p.rsplit("-", 1)[1].split(".")[0])):
-            with open(p) as fh:
-                out.append(json.load(fh))
+        """Materialized history, oldest→newest, by folding the commit log
+        incrementally from the earliest retained checkpoint (one pass)."""
+        out: list[dict] = []
+        snap: dict | None = None
+        ckpts = set(self._log_ids("checkpoint"))
+        for sid in self._history_ids():
+            if sid in ckpts:
+                snap = self._read_json(self._checkpoint_path(sid))
+            else:
+                snap = self._apply_delta(snap, self._read_json(self._commit_path(sid)))
+            out.append(snap)
         return out
 
     # ---------------- read ----------------
@@ -254,16 +435,12 @@ class IceboxTable:
         return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
 
     def _snapshot_by_id(self, snapshot_id: int) -> dict:
-        snap = next(
-            (s for s in self.snapshots() if s["snapshot_id"] == snapshot_id), None
-        )
-        if snap is None:
-            avail = [s["snapshot_id"] for s in self.snapshots()]
-            raise ValueError(
+        if snapshot_id not in self._history_ids():
+            raise SnapshotExpiredError(
                 f"snapshot {snapshot_id} not found (expired?); "
-                f"available snapshots: {avail}"
+                f"available snapshots: {self._history_ids()}"
             )
-        return snap
+        return self._materialize(snapshot_id)
 
     def read_changes(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None
@@ -361,38 +538,110 @@ class IceboxTable:
 
     def update_schema(self, new_schema: T.StructType) -> None:
         """Metadata-only schema commit (add column / widen type). Old data
-        files stay untouched; reads normalize them forward."""
-        snap = dict(self._snap)
-        if new_schema.json() == self.schema.json():
-            return
-        v = snap["schema_version"] + 1
-        snap = {
-            **snap,
-            "snapshot_id": snap["snapshot_id"] + 1,
-            "parent": snap["snapshot_id"],
-            "batch_id": None,
-            "schema_version": v,
-            "schemas": {**snap["schemas"], str(v): new_schema.json()},
-            "summary": {"operation": "update-schema", "to_version": v},
-        }
-        self._commit(snap)
+        files stay untouched; reads normalize them forward. Concurrent
+        schema changes serialize: on conflict the loser reloads and
+        re-applies (idempotent when the other writer made the same change)."""
+        for _ in range(3):
+            snap = self._snap
+            if new_schema.json() == self.schema.json():
+                return
+            v = snap["schema_version"] + 1
+            delta = {
+                "operation": "update-schema",
+                "parent": snap["snapshot_id"],
+                "snapshot_id": snap["snapshot_id"] + 1,
+                "batch_id": None,
+                "schema_version": v,
+                "schemas_added": {str(v): new_schema.json()},
+                "summary": {"operation": "update-schema", "to_version": v},
+            }
+            try:
+                self._try_commit(delta)
+                return
+            except CommitConflictError:
+                self.refresh()
+        raise CommitConflictError("update_schema kept losing to concurrent schema changes")
+
+    # ---------------- incremental-consumer registry ----------------
+
+    @property
+    def _consumers_path(self) -> str:
+        return os.path.join(self._meta_dir, "consumers.json")
+
+    def consumers(self) -> dict[str, int]:
+        """Registered incremental readers: name → the from-snapshot they
+        still need. ``expire_snapshots`` never drops a registered snapshot."""
+        if not os.path.exists(self._consumers_path):
+            return {}
+        return {k: int(v) for k, v in self._read_json(self._consumers_path).items()}
+
+    def _write_consumers(self, regs: dict[str, int]) -> None:
+        tmp = os.path.join(self._meta_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(regs, fh)
+        os.replace(tmp, self._consumers_path)
+
+    def register_consumer(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a from-snapshot for an incremental (read_changes) consumer.
+        Defaults to the current snapshot. Call ``advance_consumer`` after
+        processing a change set so expiration can reclaim history."""
+        sid = self._snap["snapshot_id"] if snapshot_id is None else int(snapshot_id)
+        if sid not in self._history_ids():
+            raise SnapshotExpiredError(
+                f"cannot register consumer {name!r} at expired snapshot {sid}; "
+                f"available snapshots: {self._history_ids()}"
+            )
+        regs = self.consumers()
+        regs[name] = sid
+        self._write_consumers(regs)
+        return sid
+
+    def advance_consumer(self, name: str, snapshot_id: int) -> None:
+        regs = self.consumers()
+        regs[name] = max(int(snapshot_id), regs.get(name, 0))
+        self._write_consumers(regs)
+
+    def deregister_consumer(self, name: str) -> None:
+        regs = self.consumers()
+        if regs.pop(name, None) is not None:
+            self._write_consumers(regs)
 
     def expire_snapshots(self, *, keep_last: int = 5, sweep_orphans: bool = False) -> dict:
         """Iceberg-style snapshot expiration: drop all but the newest
         ``keep_last`` snapshots and delete data files referenced ONLY by
         the dropped ones. Time travel remains available within the kept
-        window; the current snapshot is never dropped.
+        window; the current snapshot is never dropped, and the window is
+        CLAMPED so no registered incremental consumer's from-snapshot is
+        expired (a lagging read_changes reader cannot be broken by
+        maintenance — it gets a typed SnapshotExpiredError only if it
+        never registered).
+
+        Metadata-wise this writes a full checkpoint at the new history
+        floor, then deletes the older commit/checkpoint files — the fold
+        in ``snapshots()``/``_materialize`` always starts at a checkpoint.
 
         ``sweep_orphans=True`` additionally removes data files referenced
         by NO kept snapshot at all — debris from merges that wrote files
-        but crashed before committing. Only safe when no merge is in
-        flight on this table (single-writer maintenance window)."""
+        but crashed before committing (or lost a commit conflict). Only
+        safe when no merge is in flight on this table (single-writer
+        maintenance window)."""
         snaps = self.snapshots()
         orphans = 0
+        clamped = False
         if len(snaps) <= keep_last:
             kept, dropped = snaps, []
         else:
             kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        regs = self.consumers()
+        if regs and dropped:
+            floor = min(regs.values())
+            keep_ids = {s["snapshot_id"] for s in kept}
+            if floor not in keep_ids and any(
+                s["snapshot_id"] == floor for s in dropped
+            ):
+                clamped = True
+                kept = [s for s in snaps if s["snapshot_id"] >= floor]
+                dropped = [s for s in snaps if s["snapshot_id"] < floor]
         live = {e["path"] for s in kept for e in s["manifest"]}
         dead = {e["path"] for s in dropped for e in s["manifest"]} - live
         for rel in dead:
@@ -400,9 +649,20 @@ class IceboxTable:
                 os.remove(os.path.join(self.path, rel))
             except FileNotFoundError:
                 pass
-        for s in dropped:
+        if dropped:
+            # new history floor must be a checkpoint for the fold to start at
+            self._write_checkpoint(self._meta_dir, kept[0])
+            floor_id = kept[0]["snapshot_id"]
+            for s in dropped:
+                sid = s["snapshot_id"]
+                for p in (self._commit_path(sid), self._checkpoint_path(sid)):
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+            # the floor's delta file is superseded by its checkpoint
             try:
-                os.remove(os.path.join(self._meta_dir, f"snapshot-{s['snapshot_id']}.json"))
+                os.remove(self._commit_path(floor_id))
             except FileNotFoundError:
                 pass
         if sweep_orphans:
@@ -427,6 +687,7 @@ class IceboxTable:
             "expired_snapshots": len(dropped),
             "deleted_files": len(dead),
             "orphan_files_swept": orphans,
+            "clamped_by_consumers": clamped,
         }
 
     @staticmethod
@@ -479,7 +740,9 @@ class IceboxTable:
 
     # ---------------- maintenance ----------------
 
-    def compact(self, *, drop_tombstones: bool | None = None) -> dict:
+    def compact(
+        self, *, drop_tombstones: bool | None = None, conflict_retries: int = 3
+    ) -> dict:
         """Rewrite every bucket that has >1 file (or tombstones) into one
         file. Metadata-only snapshot if nothing needs work. Long-running
         CDC tables accumulate one file set per commit; compaction bounds
@@ -488,7 +751,23 @@ class IceboxTable:
         Tombstones are dropped by default ONLY for tables fed by fenced
         (ordered) delivery: under unordered delivery a late lower-seq
         update could resurrect a row whose tombstone was dropped, so such
-        tables keep tombstones unless explicitly overridden."""
+        tables keep tombstones unless explicitly overridden.
+
+        Safe to run CONCURRENTLY with merges: the commit is optimistic —
+        if a merge touches one of the buckets being folded first, this
+        compaction loses the race, reloads the new state and recomputes
+        (up to ``conflict_retries`` times); the merge is never lost."""
+        last_err: CommitConflictError | None = None
+        for attempt in range(conflict_retries + 1):
+            if attempt:
+                self.refresh()
+            try:
+                return self._compact_once(drop_tombstones=drop_tombstones)
+            except CommitConflictError as exc:
+                last_err = exc
+        raise last_err
+
+    def _compact_once(self, *, drop_tombstones: bool | None) -> dict:
         snap = self._snap
         if drop_tombstones is None:
             drop_tombstones = not snap.get("unordered_mode", False)
@@ -525,7 +804,10 @@ class IceboxTable:
         if drop_tombstones:
             df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         df = df.withColumn("_bucket", bucket_expr(self.key, self.n_buckets))
-        commit_dir = f"data/c{snap['snapshot_id'] + 1}"
+        # writer-unique commit dir: concurrent writers (or a retried
+        # attempt after a lost commit race) can never clobber each other's
+        # committed data files; losers leave orphan dirs for sweep
+        commit_dir = f"data/c{snap['snapshot_id'] + 1}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.path, commit_dir)
         (
             df.repartition(self.n_buckets, F.col(self.key))
@@ -533,21 +815,22 @@ class IceboxTable:
             .mode("overwrite")
             .parquet(out_path)
         )
-        new_manifest = [e for e in snap["manifest"] if e["bucket"] not in set(todo)]
         files_written, _ = self._register_files(out_path, snap["schema_version"])
-        new_manifest.extend(files_written)
         metrics = {
             "compacted_buckets": len(todo),
             "files_before": len(snap["manifest"]),
-            "files_after": len(new_manifest),
+            "files_after": len(snap["manifest"])
+            - sum(len(by_bucket[b]) for b in todo)
+            + len(files_written),
         }
-        self._commit(
+        self._try_commit(
             {
-                **snap,
-                "snapshot_id": snap["snapshot_id"] + 1,
+                "operation": "compact",
                 "parent": snap["snapshot_id"],
+                "snapshot_id": snap["snapshot_id"] + 1,
                 "batch_id": None,
-                "manifest": new_manifest,
+                "removed_buckets": list(todo),
+                "added": files_written,
                 "summary": {"operation": "compact", **metrics},
             }
         )
@@ -567,9 +850,20 @@ class IceboxTable:
         tombstones: bool = False,
         ts_col: str | None = None,
         mor: bool | None = False,
+        conflict_retries: int = 3,
     ) -> dict:
         """Key-partitioned MERGE of a micro-batch: last-writer-wins upsert +
         delete, idempotent on batch_id.
+
+        Multi-writer safe: the commit is optimistic. A concurrent commit on
+        DISJOINT buckets is rebased past transparently (no recompute); an
+        OVERLAPPING commit (another merge/compact rewriting a touched
+        bucket) makes this merge reload table state and re-run, up to
+        ``conflict_retries`` times, then raise CommitConflictError. A
+        concurrent duplicate of the SAME batch_id is detected at commit
+        time and skipped (exactly-once even across racing drivers). Data
+        files of a lost attempt are unreferenced orphans (swept by
+        ``expire_snapshots(sweep_orphans=True)``).
 
         Write strategies:
           * copy-on-write (default): touched buckets are read, merged and
@@ -595,6 +889,33 @@ class IceboxTable:
 
         Returns a metrics dict (also recorded in the snapshot summary).
         """
+        last_err: CommitConflictError | None = None
+        for attempt in range(conflict_retries + 1):
+            if attempt:
+                self.refresh()
+            try:
+                return self._merge_once(
+                    updates, batch_id, seq_col=seq_col, op_col=op_col,
+                    delete_value=delete_value, fence=fence,
+                    tombstones=tombstones, ts_col=ts_col, mor=mor,
+                )
+            except CommitConflictError as exc:
+                last_err = exc
+        raise last_err
+
+    def _merge_once(
+        self,
+        updates: DataFrame,
+        batch_id: str,
+        *,
+        seq_col: str,
+        op_col: str,
+        delete_value: str,
+        fence: bool,
+        tombstones: bool,
+        ts_col: str | None,
+        mor: bool | None,
+    ) -> dict:
         import time as _time
 
         snap = self._snap
@@ -668,10 +989,6 @@ class IceboxTable:
             mor = touched_live > 0 and batch_rows * 8 < touched_live
             merge_plan += "+auto-mor" if mor else "+auto-cow"
 
-        if mor:
-            new_manifest = list(snap["manifest"])  # deltas add, never replace
-        else:
-            new_manifest = [e for e in snap["manifest"] if e["bucket"] not in touched]
         files_written: list[dict] = []
         rows_out = 0
 
@@ -686,7 +1003,7 @@ class IceboxTable:
             deduped = deduped.withColumn(
                 DELETED_COL, F.col("_op") == F.lit(delete_value)
             ).drop("_op")
-            commit_dir = f"data/c{snap['snapshot_id'] + 1}"
+            commit_dir = f"data/c{snap['snapshot_id'] + 1}-{uuid.uuid4().hex[:8]}"
             out_path = os.path.join(self.path, commit_dir)
             deduped.write.partitionBy("_bucket").mode("overwrite").parquet(out_path)
             phase_t["write_sec"] = round(_time.time() - _t0, 3)
@@ -695,7 +1012,6 @@ class IceboxTable:
                 out_path, snap["schema_version"], kind="delta"
             )
             phase_t["footer_sec"] = round(_time.time() - _t0, 3)
-            new_manifest.extend(files_written)
         elif touched:
             # 3. read ONLY touched buckets of the target
             tgt_entries = [e for e in snap["manifest"] if e["bucket"] in touched]
@@ -732,20 +1048,17 @@ class IceboxTable:
                 )
 
             # 5. copy-on-write: rewrite touched buckets into a new commit dir
-            commit_dir = f"data/c{snap['snapshot_id'] + 1}"
+            commit_dir = f"data/c{snap['snapshot_id'] + 1}-{uuid.uuid4().hex[:8]}"
             out_path = os.path.join(self.path, commit_dir)
             merged.write.partitionBy("_bucket").mode("overwrite").parquet(out_path)
             phase_t["write_sec"] = round(_time.time() - _t0, 3)
             _t0 = _time.time()
             files_written, rows_out = self._register_files(out_path, snap["schema_version"])
             phase_t["footer_sec"] = round(_time.time() - _t0, 3)
-            new_manifest.extend(files_written)
 
-        # 6. lineage: per-bucket + global LSN, committed atomically with data
-        per_bucket = dict(snap["lineage"]["per_bucket"])
-        for b, (_, mx) in touched.items():
-            per_bucket[str(b)] = max(int(per_bucket.get(str(b), 0)), mx)
-        total_rows = sum(e["rows"] for e in new_manifest)
+        # 6. lineage: per-bucket + global LSN, committed atomically with
+        #    the data as a bucket-granular delta (O(touched buckets) commit
+        #    metadata — the full manifest is never rewritten)
         metrics = {
             "batch_id": batch_id,
             "skipped": False,
@@ -755,29 +1068,37 @@ class IceboxTable:
             "touched_buckets": sorted(touched),
             "files_written": len(files_written),
             "rows_written": rows_out,
-            # write amplification signal: bytes this commit / bytes live —
-            # the number that says when to flip COW → MOR at scale
             "bytes_written": sum(e.get("bytes", 0) for e in files_written),
-            "total_bytes": sum(e.get("bytes", 0) for e in new_manifest),
-            "total_rows": total_rows,
             "max_event_ts": max_ts.isoformat() if max_ts is not None else None,
             **phase_t,
         }
-        new_snap = {
-            **snap,
-            "snapshot_id": snap["snapshot_id"] + 1,
+        delta = {
+            "operation": "merge",
             "parent": snap["snapshot_id"],
+            "snapshot_id": snap["snapshot_id"] + 1,
             "batch_id": batch_id,
             # a single fence-less merge marks the table as unordered-
             # delivery forever (compaction then preserves tombstones)
-            "unordered_mode": snap.get("unordered_mode", False) or not fence,
-            "committed_batches": (snap["committed_batches"] + [batch_id])[-MAX_FENCE_IDS:],
-            "manifest": new_manifest,
-            "lineage": {
+            "unordered": not fence,
+            "removed_buckets": [] if mor else sorted(touched),
+            "added": files_written,
+            "lineage_delta": {
                 "last_applied_lsn": max(fence_lsn, batch_max_seq),
-                "per_bucket": per_bucket,
+                "per_bucket": {str(b): mx for b, (_, mx) in touched.items()},
             },
             "summary": {"operation": "merge", **metrics},
         }
-        self._commit(new_snap)
+        committed = self._try_commit(delta)
+        if committed is None:
+            return {
+                "batch_id": batch_id,
+                "skipped": True,
+                "reason": "already-committed-concurrently",
+            }
+        # table-level totals from the POST-commit state (under a rebase the
+        # final manifest includes concurrent disjoint commits as well) —
+        # write amplification signal: bytes_written / total_bytes is the
+        # number that says when to flip COW → MOR at scale
+        metrics["total_bytes"] = sum(e.get("bytes", 0) for e in committed["manifest"])
+        metrics["total_rows"] = sum(e["rows"] for e in committed["manifest"])
         return metrics

@@ -34,14 +34,21 @@ def run_streaming(
     ``(StreamingQuery, CDCEngine)`` pair is returned — await/stop the
     query yourself and read ``engine.metrics`` while it runs.
 
-    Caveat: epoch ids restart at 0 with a FRESH checkpoint dir. Reusing an
-    existing table with a new checkpoint therefore re-presents batch ids
-    ('stream-epoch-0', …) that the table may already have fenced —
-    re-delivered epochs are skipped as already-committed, so point a new
-    checkpoint at a new table (or clear the table) when replaying from
-    scratch."""
+    Batch ids are namespaced by checkpoint: epoch ids restart at 0 with a
+    FRESH checkpoint dir, so the fence id carries a run id derived from
+    the checkpoint path. Restarting from the SAME checkpoint re-presents
+    identical ids → replayed epochs are fenced as already-committed
+    (exactly-once); pointing a NEW checkpoint at an existing table
+    re-reads the whole log under fresh ids → every event re-applies as a
+    no-op under LWW (idempotent full replay), never silent data loss."""
+    import hashlib
+    import os
+
     static = spark.read.parquet(cfg.log_path)
     engine = CDCEngine(spark, cfg, log_df=static)
+    run_ns = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:10]
 
     def apply(batch_df, epoch_id: int) -> None:
         changes = engine._maybe_evolve(batch_df)
@@ -51,8 +58,9 @@ def run_streaming(
         # batches are small relative to the table and land as MOR deltas;
         # the initial backfill batches go copy-on-write
         m = engine.table.merge(
-            batch_df, f"stream-epoch-{epoch_id}", seq_col=cfg.seq_col, op_col=cfg.op_col,
-            ts_col=cfg.ts_col, fence=False, tombstones=True, mor=None,
+            batch_df, f"stream-{run_ns}-epoch-{epoch_id}", seq_col=cfg.seq_col,
+            op_col=cfg.op_col, ts_col=cfg.ts_col, fence=False, tombstones=True,
+            mor=None,
         )
         engine.metrics.emit({"kind": "stream-batch", "epoch": epoch_id,
                              "schema_changes": changes, **m})

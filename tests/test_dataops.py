@@ -322,3 +322,41 @@ def test_bucket_cap_downsamples_instead_of_starving(spark):
         per_q.setdefault(r["query_id"], 0)
         per_q[r["query_id"]] += 1
     assert all(1 <= v <= 5 for v in per_q.values())
+
+
+def test_simhash_hot_chunk_cap_bounds_adversarial_mass(spark):
+    """Adversarial corpus mass: 600 near-empty docs all hash to ONE
+    constant simhash (one chunk bucket per band) — the chunk-join skew cap
+    must bound the O(b²) candidate set; an uncapped run would emit
+    C(600,2)=179700 pairs. The computed default stays inert (exact) on a
+    small corpus."""
+    rows = [(i, "x") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    n = simhash_near_pairs(df, max_hamming=4, max_chunk=32).count()
+    assert 0 < n <= 32 * 31 // 2
+    small = spark.createDataFrame(rows[:40], "doc_id: long, text: string")
+    n_default = simhash_near_pairs(small).count()
+    n_uncapped = simhash_near_pairs(small, max_chunk=0).count()
+    assert n_default == n_uncapped == 40 * 39 // 2
+
+
+def test_lsh_default_caps_inert_at_small_scale(emb):
+    """max_bucket=None now means COMPUTED skew cap, not unbounded: at gate
+    scale the 512 floor exceeds every bucket so results are identical to
+    the explicit-uncapped run (oracle contract preserved), while a
+    default-args user at 10⁹ vectors gets a bounded plan."""
+    from sparkcdc.ann import cosine_near_dup_pairs, default_bucket_cap
+
+    assert default_bucket_cap(500, 64) == 512          # small corpus → floor
+    assert default_bucket_cap(10**9, 2**16) > 100_000  # big corpus → ~8× uniform
+
+    a = {tuple(r) for r in cosine_near_dup_pairs(
+        emb, threshold=0.4, n_planes=6, n_bands=2).collect()}
+    b = {tuple(r) for r in cosine_near_dup_pairs(
+        emb, threshold=0.4, n_planes=6, n_bands=2, max_bucket=0).collect()}
+    assert a == b and a
+    c = {tuple(r) for r in lsh_ann_topk(
+        emb, n_queries=3, k=5, n_planes=6, n_bands=2).collect()}
+    d = {tuple(r) for r in lsh_ann_topk(
+        emb, n_queries=3, k=5, n_planes=6, n_bands=2, max_bucket=0).collect()}
+    assert c == d and c

@@ -704,3 +704,139 @@ def test_streaming_auto_mode_with_compaction(spark, tmp_path):
     assert n_delta <= 16 + cfg.n_buckets  # compaction kept deltas bounded
     expected = oracle.replay(spark.read.parquet(log_dir).toPandas())
     oracle.assert_table_equal(t.read().toPandas(), expected)
+
+
+def test_json_wal_planning_uses_sidecar(spark, tmp_path, monkeypatch):
+    """JSON-WAL planning parity (a WAL format without footer stats): a
+    per-file max-LSN sidecar makes planning O(new segments) — an
+    UNCHANGED WAL plans with zero Spark scans, and after an append only
+    the new segment files are scanned."""
+    import os
+
+    import sparkcdc.changelog as cl
+    import sparkcdc.engine as eng_mod
+
+    log = generate_changelog(spark, 1_000, 100, seed=43)
+    jdir = str(tmp_path / "waljson")
+    log.write.json(jdir)
+    cfg = JobConfig(log_path=jdir, table_path=str(tmp_path / "tbl"),
+                    batch_size=500, log_format="json", n_buckets=4)
+    eng = CDCEngine(spark, cfg)
+    assert eng.plan_batches() == [(0, 500), (500, 1_000)]
+    sidecar = os.path.join(cfg.table_path, "metadata", "wal_stats.json")
+    assert os.path.exists(sidecar)
+
+    # warm sidecar + unchanged WAL → planning must not scan at all
+    def boom(*a, **k):
+        raise AssertionError("json WAL planning scanned despite warm sidecar")
+
+    monkeypatch.setattr(cl, "_scan_json_max_by_file", boom)
+    monkeypatch.setattr(eng_mod, "max_seq", boom)
+    eng2 = CDCEngine(spark, cfg)
+    assert eng2.plan_batches() == [(0, 500), (500, 1_000)]
+
+    # appended segments → exactly the NEW files are scanned, not the log
+    monkeypatch.undo()
+    orig = cl._scan_json_max_by_file
+    calls: list[list[str]] = []
+
+    def spy(spark_, files, schema, seq_col):
+        calls.append(sorted(files))
+        return orig(spark_, files, schema, seq_col)
+
+    monkeypatch.setattr(cl, "_scan_json_max_by_file", spy)
+    more = generate_changelog(spark, 1_500, 100, seed=43).where(F.col("seq") > 1_000)
+    more.coalesce(1).write.mode("append").json(jdir)
+    eng3 = CDCEngine(spark, cfg)
+    assert eng3.plan_batches() == [(0, 500), (500, 1_000), (1_000, 1_500)]
+    import glob as _glob
+    total = len(_glob.glob(os.path.join(jdir, "*.json")))
+    assert len(calls) == 1 and 0 < len(calls[0]) < total
+
+
+def test_custom_seq_col_with_decoy_seq_column(spark, tmp_path):
+    """Footer-stats planning respects cfg.seq_col: a WAL whose LSN column
+    is 'lsn' alongside an UNRELATED column literally named 'seq' must plan
+    and fence from 'lsn' (the decoy would yield a bogus 999999 HWM)."""
+    orig = generate_changelog(spark, 1_000, 100, seed=47)
+    log = orig.withColumnRenamed("seq", "lsn").withColumn(
+        "seq", F.lit(999_999).cast("long")
+    )
+    wal = str(tmp_path / "wal")
+    write_log_parquet(log, wal, seq_col="lsn")
+    cfg = JobConfig(log_path=wal, table_path=str(tmp_path / "t"),
+                    batch_size=400, seq_col="lsn", n_buckets=4)
+    eng = CDCEngine(spark, cfg)
+    assert eng.plan_batches() == [(0, 400), (400, 800), (800, 1_000)]
+    eng.run()
+    assert eng.table.lineage["last_applied_lsn"] == 1_000
+    expected = oracle.replay(orig.toPandas())
+    oracle.assert_table_equal(eng.read_table().drop("seq").toPandas(), expected)
+
+
+def test_dynamic_reguess_rejection_is_surfaced(spark, tmp_path, monkeypatch):
+    """Fixed-schema + dynamic_schema: a re-guess that drops the merge key
+    is rejected VISIBLY (metrics record, was a silent no-op) and the
+    caller-owned JobConfig keeps its adopted column set."""
+    rows = [(i + 1, "upsert", f"D{i}", i) for i in range(50)]
+    log = spark.createDataFrame(
+        rows, "seq: long, op: string, doc_id: string, n_tok: int"
+    )
+    wal = str(tmp_path / "wal")
+    log.write.parquet(wal)
+    cols = [{"name": "doc_id", "type": "string"}, {"name": "n_tok", "type": "long"}]
+    cfg = JobConfig(log_path=wal, table_path=str(tmp_path / "t"), batch_size=50,
+                    n_buckets=4, dynamic_schema=True, columns=list(cols))
+    eng = CDCEngine(spark, cfg)
+    # simulate a source whose sample lost the key field mid-stream
+    import sparkcdc.schema_infer as si
+    monkeypatch.setattr(
+        si, "guess_columns", lambda df, **k: [{"name": "n_tok", "type": "long"}]
+    )
+    eng.run()
+    recs = [r for r in eng.metrics.records if r.get("kind") == "dynamic-schema-rejected"]
+    assert recs and "doc_id" in recs[0]["reason"]
+    assert cfg.columns == cols  # config not mutated by the rejected guess
+    assert eng.read_table().count() == 50
+
+
+def test_dynamic_reguess_never_rewrites_key_type(spark, tmp_path):
+    """A merge key whose string values all look like epoch seconds must
+    NOT be upgraded to timestamp by the per-run re-guess — the key's type
+    is pinned (a silent key rewrite would corrupt bucketing + joins)."""
+    rows = [(i + 1, "upsert", str(1_700_000_000 + i), "x") for i in range(60)]
+    log = spark.createDataFrame(
+        rows, "seq: long, op: string, doc_id: string, payload: string"
+    )
+    wal = str(tmp_path / "wal")
+    log.write.parquet(wal)
+    cfg = JobConfig(log_path=wal, table_path=str(tmp_path / "t"),
+                    batch_size=100, n_buckets=4, dynamic_schema=True)
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    assert eng.table.schema["doc_id"].dataType.simpleString() == "string"
+    assert eng.read_table().count() == 60
+
+
+def test_streaming_fresh_checkpoint_namespaced_batch_ids(spark, tmp_path):
+    """A NEW checkpoint over an EXISTING table must not collide with the
+    previous run's fenced epoch ids (ADVICE: 'stream-epoch-0' reuse meant
+    silently skipped epochs): ids are namespaced per checkpoint, so the
+    fresh run replays the whole log idempotently and picks up events the
+    first run never saw."""
+    from sparkcdc.streaming import run_streaming
+
+    log_path = str(tmp_path / "wal")
+    generate_changelog(spark, 2_000, 150, seed=51).write.parquet(log_path)
+    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "tbl"), n_buckets=8)
+    t1 = run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ckptA"))
+    assert t1["applied_events"] == 2_000
+    generate_changelog(spark, 3_000, 150, seed=51).where(
+        F.col("seq") > 2_000
+    ).write.mode("append").parquet(log_path)
+    t2 = run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ckptB"))
+    # full re-read under fresh ids: nothing fenced out, replay idempotent
+    assert t2["applied_events"] == 3_000
+    expected = oracle.replay(generate_changelog(spark, 3_000, 150, seed=51).toPandas())
+    got = IceboxTable.load(spark, cfg.table_path).read().toPandas()
+    oracle.assert_table_equal(got, expected)
