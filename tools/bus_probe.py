@@ -22,24 +22,32 @@ import sys
 import time
 
 
-def _worker(mb: int, seconds: float, out: "mp.Queue") -> None:
+def _worker(mb: int, seconds: float, out: "mp.Queue", barrier) -> None:
     import numpy as np
 
-    src = np.random.randint(0, 255, size=(mb * 1024 * 1024,), dtype=np.uint8)
+    # cheap deterministic init (no RNG), touch every page before timing
+    src = np.arange(mb * 1024 * 1024, dtype=np.uint8)
     dst = np.empty_like(src)
-    t_end = time.time() + seconds
+    np.copyto(dst, src)  # warm-up / page-fault outside the window
+    barrier.wait()  # ALL workers start the timed window together —
+    # without this, early finishers measure an uncontended bus
+    t0 = time.time()
+    t_end = t0 + seconds
     n = 0
     while time.time() < t_end:
         np.copyto(dst, src)
         n += 1
+    elapsed = time.time() - t0
     # each copy reads src + writes dst → 2×mb of bus traffic
-    out.put(2 * n * mb / seconds)  # MB/s for this worker
+    out.put(2 * n * mb / elapsed)  # MB/s for this worker
 
 
 def measure(workers: int, mb: int, seconds: float) -> dict:
     q: "mp.Queue" = mp.Queue()
+    barrier = mp.Barrier(workers)
     procs = [
-        mp.Process(target=_worker, args=(mb, seconds, q)) for _ in range(workers)
+        mp.Process(target=_worker, args=(mb, seconds, q, barrier))
+        for _ in range(workers)
     ]
     for p in procs:
         p.start()
