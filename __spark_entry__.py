@@ -350,6 +350,59 @@ def q_cdc_incremental_read(spark, sf_dir):
     )
 
 
+def q_cdc_changes_cdf(spark, sf_dir):
+    """Change-data-feed out (icebox.read_changes mode="cdf"): full pre/post
+    images between two snapshots — an updated key emits its OLD payload as
+    update_preimage and its NEW payload as update_postimage, inserts a
+    postimage only, deletes the last visible payload. Downstream jobs can
+    maintain aggregates incrementally (retract pre, apply post) without
+    re-reading the table."""
+    from sparkcdc.config import JobConfig
+    from sparkcdc.engine import CDCEngine
+
+    tbl = tempfile.mkdtemp(prefix="sparkcdc-cdf-")
+    cfg = JobConfig(
+        log_path=sf_dir, table_path=os.path.join(tbl, "tbl"),
+        batch_size=6000, n_buckets=16,
+    )
+    eng = CDCEngine(spark, cfg, log_df=_derived_log(spark, sf_dir))
+    eng.run()
+    ch = eng.table.read_changes(1, mode="cdf")
+    return ch.select(
+        "_change_type", "doc_id", F.col("_seq").alias("last_seq"), "n_tok", "source"
+    )
+
+
+def q_cdc_rebucket(spark, sf_dir):
+    """Partition evolution: replay the first half of the log into an
+    8-bucket table, rebucket to 32 (full rewrite commit swapping layout +
+    per-bucket lineage atomically), then replay the rest against the
+    evolved layout. Final visible state must equal the layout-blind serial
+    LWW oracle — growth of the bucket count (the 100 TB operability lever)
+    is invisible to correctness."""
+    import pyspark.sql.types as T
+
+    from sparkcdc.icebox import IceboxTable
+
+    log = _derived_log(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="sparkcdc-rb-")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    path = os.path.join(work, "tbl")
+    t = IceboxTable.create(spark, path, schema, key="doc_id", n_buckets=8)
+    t.merge(log.where(F.col("seq") <= 6000), "half-1", ts_col="ts")
+    t.rebucket(32)
+    t.merge(log.where(F.col("seq") > 6000), "half-2", ts_col="ts")
+    return t.read().select("doc_id", "n_tok", "source")
+
+
 # ------------------------------------------------------------- coercion ops
 
 def q_t8_tumbling_window(spark, sf_dir):
@@ -581,6 +634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multiwriter_merge": q_cdc_multiwriter_merge,
         "cdc_stateful_lww": q_cdc_stateful_lww,
         "cdc_incremental_read": q_cdc_incremental_read,
+        "cdc_changes_cdf": q_cdc_changes_cdf,
+        "cdc_rebucket": q_cdc_rebucket,
         "t8_tumbling_window": q_t8_tumbling_window,
         "c1_try_casts": q_c1_try_casts,
         "c4_timestamp_parse": q_c4_timestamp_parse,
@@ -848,6 +903,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR)
             FROM s1 LEFT JOIN s2 USING (doc_id)
             WHERE s2.doc_id IS NULL
+        """,
+        # CDF: pre/post images between the state at LSN 6000 (snapshot 1)
+        # and the final state — updates emit BOTH rows, deletes carry the
+        # last visible payload (unlike net mode's NULLs)
+        "cdc_changes_cdf": f"""
+            WITH log AS ({_DERIVED_LOG_SQL}),
+            r1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                   FROM log WHERE seq <= 6000),
+            s1 AS (SELECT doc_id, seq, n_tok, source FROM r1 WHERE rn = 1 AND op <> 'delete'),
+            r2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+                   FROM log),
+            s2 AS (SELECT doc_id, seq, n_tok, source FROM r2 WHERE rn = 1 AND op <> 'delete')
+            SELECT 'insert' AS _change_type, s2.doc_id, s2.seq AS last_seq, s2.n_tok, s2.source
+            FROM s2 LEFT JOIN s1 USING (doc_id) WHERE s1.doc_id IS NULL
+            UNION ALL
+            SELECT 'update_postimage', s2.doc_id, s2.seq, s2.n_tok, s2.source
+            FROM s2 JOIN s1 USING (doc_id) WHERE s2.seq > s1.seq
+            UNION ALL
+            SELECT 'update_preimage', s1.doc_id, s1.seq, s1.n_tok, s1.source
+            FROM s2 JOIN s1 USING (doc_id) WHERE s2.seq > s1.seq
+            UNION ALL
+            SELECT 'delete', s1.doc_id, s1.seq, s1.n_tok, s1.source
+            FROM s1 LEFT JOIN s2 USING (doc_id) WHERE s2.doc_id IS NULL
+        """,
+        # rebucket mid-replay is invisible to the final visible state
+        "cdc_rebucket": _FINAL_STATE_SQL + """
+            SELECT doc_id, n_tok, source
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         "t8_tumbling_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

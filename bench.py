@@ -81,6 +81,14 @@ def main() -> int:
         totals_big["applied_events"] / timings["cdc_replay_large_batch"]
     )
 
+    # ---- point-lookup serving path: k-key read on the replayed table
+    # (manifest bucket pruning + footer key-range pruning + pushed filter)
+    some_keys = [r["doc_id"] for r in eng.read_table().select("doc_id").limit(5).collect()]
+    t0 = time.time()
+    n_hits = eng.table.read_keys(some_keys).count()
+    timings["point_lookup"] = time.time() - t0
+    extra["point_lookup_rows"] = float(n_hits)
+
     # ---- representative operator workloads over driver testdata
     bench_queries = {
         "lww_dedup": "t2_lww_dedup",

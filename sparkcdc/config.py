@@ -45,6 +45,10 @@ class JobConfig:
     merge_mode: str = "cow"  # "cow" (rewrite touched buckets) | "mor" (delta files) | "auto" (cost-based per batch)
     compact_every: int | None = None  # mor: fold deltas every N batches
     compact_delta_files: int | None = None  # fold when manifest holds > N delta files
+    # auto partition evolution: when the table's average bucket exceeds
+    # this many bytes, the engine rebuckets (doubling) after the batch —
+    # bucket count tracks table growth without operator intervention
+    target_bucket_bytes: int | None = None
     log_format: str = "parquet"  # "parquet" | "json" (JSON-lines WAL)
     # driver-level retry of a failed merge commit (≈ JiraInputPlugin.java:69-83)
     retry_limit: int = 5
@@ -72,6 +76,8 @@ class JobConfig:
             raise ConfigError("compact_every must be greater than 0")
         if self.compact_delta_files is not None and self.compact_delta_files <= 0:
             raise ConfigError("compact_delta_files must be greater than 0")
+        if self.target_bucket_bytes is not None and self.target_bucket_bytes <= 0:
+            raise ConfigError("target_bucket_bytes must be greater than 0")
         if self.log_format not in ("parquet", "json"):
             raise ConfigError("log_format must be 'parquet' or 'json'")
         for c in self.columns:

@@ -210,7 +210,13 @@ class IceboxTable:
         dl = delta.get("lineage_delta")
         per = dict(lin["per_bucket"])
         last = int(lin["last_applied_lsn"])
-        if dl:
+        if dl and dl.get("replace"):
+            # rebucket: old bucket ids are meaningless in the new layout —
+            # per-bucket lineage is swapped wholesale (rebuilt from the
+            # rewritten files' footer seq stats); the global fence carries
+            per = {b: int(v) for b, v in dl["per_bucket"].items()}
+            last = max(last, int(dl["last_applied_lsn"]))
+        elif dl:
             for b, v in dl["per_bucket"].items():
                 per[b] = max(int(per.get(b, 0)), int(v))
             last = max(last, int(dl["last_applied_lsn"]))
@@ -229,6 +235,7 @@ class IceboxTable:
             "lineage": {"last_applied_lsn": last, "per_bucket": per},
             "schema_version": delta.get("schema_version", snap["schema_version"]),
             "schemas": {**snap["schemas"], **delta.get("schemas_added", {})},
+            "n_buckets": delta.get("n_buckets", snap["n_buckets"]),
             "summary": delta.get("summary", snap.get("summary", {})),
         }
 
@@ -443,18 +450,32 @@ class IceboxTable:
         return self._materialize(snapshot_id)
 
     def read_changes(
-        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        *,
+        mode: str = "net",
     ) -> DataFrame:
         """Incremental read (CDC out): the NET row-level changes between two
-        snapshots as ``(_change string, payload..., _seq)`` with ``_change``
-        in {upsert, delete}. The engine thus both ingests a change log and
-        can emit one for downstream consumers.
+        snapshots. The engine thus both ingests a change log and can emit
+        one for downstream consumers.
 
-        Cost is O(changed buckets): only buckets whose manifest file set
-        differs between the snapshots are read and compared (state diff via
-        a full outer join on the key within those buckets) — an untouched
-        100 TB tail contributes nothing. Compaction-only rewrites diff to
-        empty, so consumers see logical changes, not file churn."""
+        ``mode="net"`` (default) emits ``(_change, payload..., _seq)`` with
+        ``_change`` in {upsert, delete}. ``mode="cdf"`` emits a Delta-style
+        change-data-feed with full pre/post images: ``_change_type`` in
+        {insert, update_preimage, update_postimage, delete} — an updated key
+        yields TWO rows (the old payload at its old _seq, the new payload at
+        its new _seq), so downstream consumers can maintain aggregates
+        incrementally (retract old, apply new) without re-reading the table.
+
+        Cost is O(changed buckets) in both modes: only buckets whose
+        manifest file set differs between the snapshots are read and
+        compared (state diff via a full outer join on the key within those
+        buckets) — an untouched 100 TB tail contributes nothing. Compaction-
+        only rewrites diff to empty, so consumers see logical changes, not
+        file churn."""
+        if mode not in ("net", "cdf"):
+            raise ValueError(f"mode must be 'net' or 'cdf', got {mode!r}")
         old_snap = self._snapshot_by_id(from_snapshot_id)
         new_snap = (
             self._snap
@@ -487,6 +508,8 @@ class IceboxTable:
         key = self.key
         old_state = visible_state(old_snap)
         new_state = visible_state(new_snap)
+        if mode == "cdf":
+            return self._cdf(old_state, new_state, payload_cols)
         o = old_state.select(
             F.col(key).alias("_k"), F.col(SEQ_COL).alias("_old_seq")
         )
@@ -510,11 +533,68 @@ class IceboxTable:
         )
         return upserts.unionByName(deletes)
 
+    def _cdf(
+        self, old_state: DataFrame, new_state: DataFrame, payload_cols: list[str]
+    ) -> DataFrame:
+        """Change-data-feed tail of read_changes(mode="cdf"): one full outer
+        join on the key, then each joined row emits 0-2 typed image structs
+        (pre and/or post) which are compacted and exploded — a single pass,
+        no re-scan of the join per change type."""
+        key = self.key
+        o = old_state.select(
+            *[F.col(c).alias(f"_o_{c}") for c in payload_cols],
+            F.col(SEQ_COL).alias("_old_seq"),
+        )
+        n = new_state.alias("n")
+        joined = n.join(o, F.col(f"n.{key}") == F.col(f"_o_{key}"), "full_outer")
+        new_here = F.col(f"n.{key}").isNotNull()
+        old_here = F.col(f"_o_{key}").isNotNull()
+        updated = new_here & old_here & (F.col(f"n.{SEQ_COL}") > F.col("_old_seq"))
+
+        def img(change: str, prefix: str, seq_expr) -> F.Column:
+            return F.struct(
+                F.lit(change).alias("_change_type"),
+                *[F.col(f"{prefix}{c}").alias(c) for c in payload_cols],
+                seq_expr.alias(SEQ_COL),
+            )
+
+        pre = F.when(updated, img("update_preimage", "_o_", F.col("_old_seq"))).when(
+            old_here & ~new_here, img("delete", "_o_", F.col("_old_seq"))
+        )
+        post = F.when(
+            new_here & ~old_here, img("insert", "n.", F.col(f"n.{SEQ_COL}"))
+        ).when(updated, img("update_postimage", "n.", F.col(f"n.{SEQ_COL}")))
+        exploded = joined.select(
+            F.explode(F.array_compact(F.array(pre, post))).alias("_img")
+        )
+        return exploded.select(
+            F.col("_img._change_type").alias("_change_type"),
+            *[F.col(f"_img.{c}").alias(c) for c in payload_cols],
+            F.col(f"_img.{SEQ_COL}").alias(SEQ_COL),
+        )
+
+    @staticmethod
+    def _entries_for_keys(entries: list[dict], keys: list) -> list[dict]:
+        """File-level range pruning for point lookups: drop manifest entries
+        whose footer [key_min, key_max] cannot contain any requested key.
+        Entries without recorded bounds are kept (conservative). With
+        key-sorted data files (compact/rebucket cluster by key) a bucket
+        holding many MOR delta files serves a point lookup from the one or
+        two files whose range actually covers the key."""
+        out = []
+        for e in entries:
+            if "key_min" not in e or "key_max" not in e:
+                out.append(e)
+            elif any(e["key_min"] <= k <= e["key_max"] for k in keys):
+                out.append(e)
+        return out
+
     def read_keys(self, keys: list, *, with_seq: bool = False) -> DataFrame:
         """Point lookups with manifest-level bucket pruning: hash the
         requested keys driver-side (same function as the write layout), read
-        ONLY the manifest entries of those buckets, resolve LWW, and filter.
-        On a 100 TB table a k-key lookup touches k buckets of files, not the
+        ONLY the manifest entries of those buckets — further pruned by each
+        file's footer key range — resolve LWW, and filter. On a 100 TB
+        table a k-key lookup touches k buckets' covering files, not the
         table. The in-bucket filter also reaches the parquet scan as a
         pushed predicate."""
         snap = self._snap
@@ -529,7 +609,9 @@ class IceboxTable:
             int(r["b"])
             for r in kdf.select(bucket_expr(self.key, nb).alias("b")).collect()
         }
-        entries = [e for e in snap["manifest"] if e["bucket"] in buckets]
+        entries = self._entries_for_keys(
+            [e for e in snap["manifest"] if e["bucket"] in buckets], keys
+        )
         out = self._resolved(snap, entries, where=F.col(self.key).isin(list(keys)))
         out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
@@ -710,15 +792,47 @@ class IceboxTable:
                 return True
         return False
 
+    @staticmethod
+    def _col_min_max(md, name: str):
+        """(min, max) of a column across row groups from footer statistics,
+        or None when any row group lacks valid min/max (then the file must
+        be treated as covering the full domain). Long string bounds are
+        skipped: parquet writers may omit or truncate oversized statistics,
+        and a truncated max is a PREFIX of the true max — it compares LOW,
+        which would make range pruning drop live files."""
+        col_idx = next(
+            (j for j in range(md.num_columns) if md.schema.column(j).name == name),
+            None,
+        )
+        if col_idx is None:
+            return None
+        lo = hi = None
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mx, bytes):
+                return None
+            if isinstance(mn, str) and (len(mn) > 64 or len(mx) > 64):
+                return None
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        return None if lo is None else (lo, hi)
+
     def _register_files(self, out_path: str, schema_v: int, *, kind: str | None = None) -> tuple[list[dict], int]:
         """Collect written data files into manifest entries; parquet footers
         read concurrently (driver-side serial cost otherwise). Each entry
-        records whether the file holds tombstone rows so compaction can
-        skip tombstone-free buckets (footer stats, no extra IO)."""
+        records whether the file holds tombstone rows (so compaction can
+        skip tombstone-free buckets), the key's min/max (file-level range
+        pruning for point lookups) and the max _seq (so maintenance
+        operations can rebuild per-bucket lineage) — all from footer stats
+        already in hand, no extra data IO."""
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
         paths = glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet"))
+        key = self.key
 
         def entry(fpath: str) -> dict:
             md = pq.ParquetFile(fpath).metadata
@@ -730,6 +844,12 @@ class IceboxTable:
                 "bytes": os.path.getsize(fpath),
                 "tombstones": self._has_tombstones(md),
             }
+            kr = self._col_min_max(md, key)
+            if kr is not None:
+                e["key_min"], e["key_max"] = kr
+            sr = self._col_min_max(md, SEQ_COL)
+            if sr is not None:
+                e["seq_max"] = sr[1]
             if kind:
                 e["kind"] = kind
             return e
@@ -810,7 +930,11 @@ class IceboxTable:
         commit_dir = f"data/c{snap['snapshot_id'] + 1}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.path, commit_dir)
         (
+            # cluster by key within each bucket: compacted files get tight
+            # row-group key ranges, so point lookups (pushed key predicate +
+            # footer key_min/key_max pruning) skip whole row groups/files
             df.repartition(self.n_buckets, F.col(self.key))
+            .sortWithinPartitions("_bucket", self.key)
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_path)
@@ -832,6 +956,89 @@ class IceboxTable:
                 "removed_buckets": list(todo),
                 "added": files_written,
                 "summary": {"operation": "compact", **metrics},
+            }
+        )
+        return metrics
+
+    def rebucket(self, new_n_buckets: int, *, conflict_retries: int = 3) -> dict:
+        """Partition evolution: rewrite the table into a new hash-bucket
+        count — the lever that keeps per-bucket size bounded as a table
+        grows 100× (a 100 TB table wants 10⁴ buckets, not the 64 it was
+        created with). One full-table rewrite commit: reads every live
+        bucket, re-hashes to the new layout (key-clustered within buckets),
+        and atomically swaps ``n_buckets`` + manifest + per-bucket lineage
+        (rebuilt from the rewritten files' footer seq stats — the global
+        LSN fence is unchanged, so exactly-once is unaffected).
+
+        Multi-writer safe like every commit: rebucket removes ALL old
+        buckets, so it conflicts with ANY concurrent data commit in either
+        commit order — the loser reloads the new layout and recomputes.
+        Readers pinned at older snapshots still materialize the old layout
+        (time travel folds the commit log, n_buckets travels with it)."""
+        last_err: CommitConflictError | None = None
+        for attempt in range(conflict_retries + 1):
+            if attempt:
+                self.refresh()
+            try:
+                return self._rebucket_once(new_n_buckets)
+            except CommitConflictError as exc:
+                last_err = exc
+        raise last_err
+
+    def _rebucket_once(self, new_n_buckets: int) -> dict:
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        snap = self._snap
+        old_nb = snap["n_buckets"]
+        if new_n_buckets == old_nb:
+            return {"rebucketed": False, "n_buckets": old_nb}
+        entries = snap["manifest"]
+        df = self._read_manifest(snap, entries, with_seq=True)
+        if any(e.get("kind") == "delta" for e in entries):
+            df = self._resolve_lww(df)  # fold MOR deltas while rewriting anyway
+        if not snap.get("unordered_mode", False):
+            # fenced delivery: tombstones are foldable exactly as in compact
+            df = df.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        df = df.withColumn("_bucket", bucket_expr(self.key, new_n_buckets))
+        commit_dir = f"data/c{snap['snapshot_id'] + 1}-{uuid.uuid4().hex[:8]}"
+        out_path = os.path.join(self.path, commit_dir)
+        (
+            df.repartition(new_n_buckets, F.col(self.key))
+            .sortWithinPartitions("_bucket", self.key)
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_path)
+        )
+        files_written, rows_out = self._register_files(out_path, snap["schema_version"])
+        per_bucket: dict[str, int] = {}
+        for e in files_written:
+            if "seq_max" in e:
+                b = str(e["bucket"])
+                per_bucket[b] = max(per_bucket.get(b, 0), int(e["seq_max"]))
+        metrics = {
+            "rebucketed": True,
+            "n_buckets_before": old_nb,
+            "n_buckets": new_n_buckets,
+            "rows_rewritten": rows_out,
+            "files_written": len(files_written),
+        }
+        self._try_commit(
+            {
+                "operation": "rebucket",
+                "parent": snap["snapshot_id"],
+                "snapshot_id": snap["snapshot_id"] + 1,
+                "batch_id": None,
+                "n_buckets": new_n_buckets,
+                # removing every old bucket makes rebucket conflict with any
+                # concurrent data commit regardless of commit order
+                "removed_buckets": list(range(old_nb)),
+                "added": files_written,
+                "lineage_delta": {
+                    "replace": True,
+                    "last_applied_lsn": snap["lineage"]["last_applied_lsn"],
+                    "per_bucket": per_bucket,
+                },
+                "summary": {"operation": "rebucket", **metrics},
             }
         )
         return metrics

@@ -322,3 +322,53 @@ def test_register_consumer_at_expired_snapshot_raises(spark, tmp_path):
     # registering at a live snapshot still works
     sid = t.register_consumer("ok", None)
     assert sid == t.snapshot["snapshot_id"]
+
+
+def test_rebucket_conflicts_with_concurrent_merge_both_orders(spark, tmp_path):
+    """Partition evolution under concurrency: rebucket removes EVERY old
+    bucket, so it conflicts with any concurrent data commit in either
+    commit order — the loser reloads the evolved (or merged) state and
+    recomputes; no commit is lost and the final state matches the serial
+    oracle in the NEW layout."""
+    path = str(tmp_path / "rb")
+    t = IceboxTable.create(spark, path, SCHEMA_V1, n_buckets=4)
+    log = generate_changelog(spark, 2_000, 150, seed=41, dup_pct=10)
+    t.merge(scan_slice(log, 0, 1_000), "base")
+
+    # order 1: merge commits first; a stale rebucket must raise at
+    # conflict_retries=0 (its rewrite was computed without the merge)
+    t_rb = IceboxTable.load(spark, path)
+    t_m = IceboxTable.load(spark, path)
+    t_m.merge(_one(spark, 5_001, "DOC-00000003", tok=[1, 2]), "late-a")
+    with pytest.raises(CommitConflictError):
+        t_rb._rebucket_once(16)
+    res = t_rb.rebucket(16)  # retry loop reloads and succeeds
+    assert res["rebucketed"]
+    cur = IceboxTable.load(spark, path)
+    assert cur.n_buckets == 16
+    assert cur.read().where(F.col("doc_id") == "DOC-00000003").first()["tokens"] == [1, 2]
+
+    # order 2: rebucket commits first; a stale merge (bucket layout
+    # computed at n_buckets=16) must conflict, reload, and land correctly
+    t_rb2 = IceboxTable.load(spark, path)
+    t_m2 = IceboxTable.load(spark, path)
+    t_rb2.rebucket(8)
+    with pytest.raises(CommitConflictError):
+        t_m2._merge_once(
+            _one(spark, 5_002, "DOC-00000005", tok=[9]), "late-b",
+            seq_col="seq", op_col="op", delete_value="delete",
+            fence=True, tombstones=False, ts_col=None, mor=False,
+        )
+    m = t_m2.merge(_one(spark, 5_003, "DOC-00000005", tok=[9]), "late-c")
+    assert not m["skipped"]
+    final = IceboxTable.load(spark, path)
+    assert final.n_buckets == 8
+    assert final.read().where(F.col("doc_id") == "DOC-00000005").first()["tokens"] == [9]
+    # every key of the original log is still intact after two rebuckets
+    expected = oracle.replay(scan_slice(log, 0, 1_000).toPandas())
+    got = final.read().where(
+        ~F.col("doc_id").isin("DOC-00000003", "DOC-00000005")
+    ).toPandas()
+    oracle.assert_table_equal(
+        got, expected.loc[~expected["doc_id"].isin(["DOC-00000003", "DOC-00000005"])]
+    )

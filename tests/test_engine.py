@@ -840,3 +840,34 @@ def test_streaming_fresh_checkpoint_namespaced_batch_ids(spark, tmp_path):
     expected = oracle.replay(generate_changelog(spark, 3_000, 150, seed=51).toPandas())
     got = IceboxTable.load(spark, cfg.table_path).read().toPandas()
     oracle.assert_table_equal(got, expected)
+
+
+def test_auto_rebucket_grows_layout_with_table(spark, tmp_path):
+    """target_bucket_bytes drives stats-based partition evolution: as the
+    replay grows the table past the per-bucket target, the engine doubles
+    the bucket count mid-run (metrics record it), later batches merge into
+    the evolved layout, and the final state still matches the oracle."""
+    log_path = _mk_log(spark, tmp_path, n=6_000, docs=2_000, seed=77, dup_pct=10)
+    cfg = JobConfig(
+        log_path=log_path, table_path=str(tmp_path / "tbl"),
+        batch_size=1_500, n_buckets=2, target_bucket_bytes=8_192,
+    )
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    assert eng.table.n_buckets > 2
+    assert eng.table.n_buckets % 2 == 0  # doubling steps
+    rebuckets = [e for e in eng.metrics.records if e.get("kind") == "rebucket"]
+    assert rebuckets and all(r["rebucketed"] for r in rebuckets)
+    # avg bucket size was brought back under target at each step
+    last = rebuckets[-1]
+    assert last["n_buckets"] == eng.table.n_buckets
+    expected = oracle.replay(spark.read.parquet(log_path).toPandas())
+    oracle.assert_table_equal(eng.read_table().toPandas(), expected)
+    # resume still works against the evolved layout (fresh driver)
+    eng2 = CDCEngine(spark, cfg)
+    assert eng2.plan_batches() == []
+
+
+def test_target_bucket_bytes_validation(spark):
+    with pytest.raises(ConfigError):
+        JobConfig(log_path="x", table_path="y", target_bucket_bytes=0).validate()

@@ -453,3 +453,161 @@ def test_read_changes_incremental_cdc_out(spark, table):
     post_compact = table.read_changes(s_after - 1, s_after).collect()
     # the compact commit itself (parent -> compacted) changes nothing visible
     assert post_compact == [] or all(False for _ in post_compact)
+
+
+def test_read_changes_cdf_pre_post_images(spark, table):
+    """Change-data-feed mode: an updated key yields its OLD payload as
+    update_preimage and NEW payload as update_postimage; inserts carry
+    only a postimage, deletes only a preimage — retract-and-apply over
+    the CDF reproduces the new state (the incremental-aggregate-
+    maintenance contract)."""
+    log = generate_changelog(spark, 3_000, 250, seed=97, delete_pct=15)
+    table.merge(scan_slice(log, 0, 1_500), "b1")
+    s1 = table.snapshot["snapshot_id"]
+    state1 = {r["doc_id"]: r for r in table.read(with_seq=True).collect()}
+    table.merge(scan_slice(log, 1_500, 3_000), "b2")
+    state2 = {r["doc_id"]: r for r in table.read(with_seq=True).collect()}
+
+    rows = table.read_changes(s1, mode="cdf").collect()
+    by_type: dict[str, dict] = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], {})[r["doc_id"]] = r
+
+    ins = by_type.get("insert", {})
+    pre = by_type.get("update_preimage", {})
+    post = by_type.get("update_postimage", {})
+    dels = by_type.get("delete", {})
+
+    expected_ins = set(state2) - set(state1)
+    expected_upd = {
+        k for k in set(state1) & set(state2) if state2[k]["_seq"] > state1[k]["_seq"]
+    }
+    expected_del = set(state1) - set(state2)
+    assert set(ins) == expected_ins
+    assert set(pre) == expected_upd == set(post)
+    assert set(dels) == expected_del
+
+    for k, r in ins.items():
+        assert (r["_seq"], r["n_tok"]) == (state2[k]["_seq"], state2[k]["n_tok"])
+    for k, r in post.items():
+        assert (r["_seq"], r["n_tok"]) == (state2[k]["_seq"], state2[k]["n_tok"])
+    for k, r in pre.items():  # preimage is the OLD row, at its OLD seq
+        assert (r["_seq"], r["n_tok"]) == (state1[k]["_seq"], state1[k]["n_tok"])
+    for k, r in dels.items():  # delete carries the last visible payload
+        assert (r["_seq"], r["n_tok"]) == (state1[k]["_seq"], state1[k]["n_tok"])
+
+    # retract preimages/deletes, apply inserts/postimages -> state2
+    replayed = {k: v for k, v in state1.items() if k not in dels and k not in pre}
+    replayed.update(ins)
+    replayed.update(post)
+    assert {k: v["_seq"] for k, v in replayed.items()} == {
+        k: v["_seq"] for k, v in state2.items()
+    }
+
+    with pytest.raises(ValueError):
+        table.read_changes(s1, mode="bogus")
+
+
+def test_manifest_records_key_range_and_seq_stats(spark, table):
+    """Every registered data file carries footer-derived key_min/key_max
+    and seq_max in its manifest entry (no extra IO at read time)."""
+    log = generate_changelog(spark, 2_000, 200, seed=98)
+    table.merge(log, "b1")
+    for e in table.snapshot["manifest"]:
+        assert "key_min" in e and "key_max" in e and "seq_max" in e
+        assert e["key_min"] <= e["key_max"]
+        assert 0 < e["seq_max"] <= 2_000
+
+
+def test_entries_for_keys_range_pruning_unit():
+    """File-range pruning keeps covering + statless entries, drops the
+    rest (truncation-safe: no bounds recorded means no pruning)."""
+    entries = [
+        {"path": "a", "bucket": 0, "key_min": "a000", "key_max": "a999"},
+        {"path": "z", "bucket": 0, "key_min": "z000", "key_max": "z999"},
+        {"path": "nostats", "bucket": 0},
+    ]
+    got = IceboxTable._entries_for_keys(entries, ["a500"])
+    assert {e["path"] for e in got} == {"a", "nostats"}
+    got = IceboxTable._entries_for_keys(entries, ["a500", "z001"])
+    assert {e["path"] for e in got} == {"a", "z", "nostats"}
+    got = IceboxTable._entries_for_keys(entries, ["m555"])
+    assert {e["path"] for e in got} == {"nostats"}
+
+
+def test_point_lookup_prunes_mor_delta_files_by_key_range(spark, tmp_path, monkeypatch):
+    """A bucket stacked with MOR delta files from key-disjoint batches
+    serves a point lookup from ONLY the files whose footer key range
+    covers the key — file-level pruning on top of bucket pruning."""
+    tbl = IceboxTable.create(spark, str(tmp_path / "kr"), SCHEMA_V1, n_buckets=1)
+    rows_a = [(i + 1, "upsert", f"a{i:04d}", [i], i, "s") for i in range(50)]
+    rows_z = [(i + 51, "upsert", f"z{i:04d}", [i], i + 100, "s") for i in range(50)]
+    ddl = "seq: long, op: string, doc_id: string, tokens: array<int>, n_tok: int, source: string"
+    tbl.merge(spark.createDataFrame(rows_a, ddl), "a", mor=True)
+    tbl.merge(spark.createDataFrame(rows_z, ddl), "z", mor=True)
+    assert len(tbl.snapshot["manifest"]) >= 2
+
+    seen = {}
+    orig = tbl._read_manifest
+
+    def spy(snap, entries, **kw):
+        seen["entries"] = list(entries)
+        return orig(snap, entries, **kw)
+
+    monkeypatch.setattr(tbl, "_read_manifest", spy)
+    got = tbl.read_keys(["a0007"]).collect()
+    assert [r["doc_id"] for r in got] == ["a0007"]
+    assert all(e["key_min"].startswith("a") for e in seen["entries"])
+    assert len(seen["entries"]) < len(tbl.snapshot["manifest"])
+
+
+def test_compact_clusters_by_key_for_rowgroup_pruning(spark, table):
+    """Compacted files are sorted by key within each bucket, so pushed
+    point predicates prune row groups (tight per-row-group key ranges)."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    log = generate_changelog(spark, 2_000, 200, seed=99)
+    table.merge(scan_slice(log, 0, 1_000), "b1", mor=True)
+    table.merge(scan_slice(log, 1_000, 2_000), "b2", mor=True)
+    table.compact()
+    entry = max(table.snapshot["manifest"], key=lambda e: e["rows"])
+    t = pq.read_table(_os.path.join(table.path, entry["path"]), columns=["doc_id"])
+    vals = t.column("doc_id").to_pylist()
+    assert vals == sorted(vals)
+
+
+def test_rebucket_preserves_state_and_evolves_layout(spark, table):
+    """Partition evolution: rebucket rewrites into a new hash layout with
+    identical visible state, swaps n_buckets + per-bucket lineage
+    atomically, keeps the global LSN fence, and subsequent merges use the
+    new layout. Time travel still materializes the old layout."""
+    log = generate_changelog(spark, 4_000, 300, seed=101, dup_pct=10, delete_pct=10)
+    table.merge(scan_slice(log, 0, 2_000), "b1")
+    pre_sid = table.snapshot["snapshot_id"]
+    pre_state = {r["doc_id"]: r["_seq"] for r in table.read(with_seq=True).collect()}
+
+    res = table.rebucket(32)
+    assert res["rebucketed"] and res["n_buckets"] == 32
+    assert table.n_buckets == 32
+    assert {e["bucket"] for e in table.snapshot["manifest"]} <= set(range(32))
+    assert table.lineage["last_applied_lsn"] == 2_000
+    # per-bucket lineage rebuilt in the NEW layout from footer seq stats
+    assert all(int(b) < 32 for b in table.lineage["per_bucket"])
+    got = {r["doc_id"]: r["_seq"] for r in table.read(with_seq=True).collect()}
+    assert got == pre_state
+
+    # merges keep working against the evolved layout; final state = oracle
+    table.merge(scan_slice(log, 2_000, 4_000), "b2")
+    expected = oracle.replay(log.toPandas())
+    oracle.assert_table_equal(table.read().toPandas(), expected)
+    # point lookups hash with the new bucket count
+    some = sorted(pre_state)[0]
+    assert table.read_keys([some]).count() in (0, 1)
+
+    # time travel to the pre-rebucket snapshot still reads the old state
+    old = {r["doc_id"]: r["_seq"] for r in table.read(pre_sid, with_seq=True).collect()}
+    assert old == pre_state
+
+    # no-op when the count is unchanged
+    assert table.rebucket(32)["rebucketed"] is False
