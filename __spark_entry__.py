@@ -373,6 +373,48 @@ def q_cdc_changes_cdf(spark, sf_dir):
     )
 
 
+def q_cdc_cdf_incremental_agg(spark, sf_dir):
+    """The CDF consumed the way a downstream job would: per-source doc
+    count + token sum computed at snapshot 1, then maintained purely by
+    retract-and-apply over read_changes(mode="cdf") — pre-images/deletes
+    subtract, post-images/inserts add; a doc whose source changes moves
+    between groups via its pre/post pair. The maintained aggregate must
+    equal a direct aggregate of the final table (the oracle) without ever
+    re-reading the table."""
+    from sparkcdc.config import JobConfig
+    from sparkcdc.engine import CDCEngine
+
+    tbl = tempfile.mkdtemp(prefix="sparkcdc-cdfagg-")
+    cfg = JobConfig(
+        log_path=sf_dir, table_path=os.path.join(tbl, "tbl"),
+        batch_size=6000, n_buckets=16,
+    )
+    eng = CDCEngine(spark, cfg, log_df=_derived_log(spark, sf_dir))
+    eng.run()
+    base = (
+        eng.table.read(snapshot_id=1)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("tok"))
+    )
+    cdf = eng.table.read_changes(1, mode="cdf")
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = cdf.groupBy("source").agg(
+        F.sum(sign).alias("dn"),
+        F.sum(sign * F.col("n_tok")).alias("dtok"),
+    )
+    j = base.join(delta, "source", "full_outer")
+    return (
+        j.select(
+            "source",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_docs"),
+            (F.coalesce("tok", F.lit(0)) + F.coalesce("dtok", F.lit(0))).alias("sum_tok"),
+        )
+        .where(F.col("n_docs") > 0)
+    )
+
+
 def q_cdc_rebucket(spark, sf_dir):
     """Partition evolution: replay the first half of the log into an
     8-bucket table, rebucket to 32 (full rewrite commit swapping layout +
@@ -635,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stateful_lww": q_cdc_stateful_lww,
         "cdc_incremental_read": q_cdc_incremental_read,
         "cdc_changes_cdf": q_cdc_changes_cdf,
+        "cdc_cdf_incremental_agg": q_cdc_cdf_incremental_agg,
         "cdc_rebucket": q_cdc_rebucket,
         "t8_tumbling_window": q_t8_tumbling_window,
         "c1_try_casts": q_c1_try_casts,
@@ -931,6 +974,14 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rebucket": _FINAL_STATE_SQL + """
             SELECT doc_id, n_tok, source
             FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # the CDF-maintained aggregate must equal the direct final
+        # aggregate — retract-and-apply over pre/post images is lossless
+        "cdc_cdf_incremental_agg": _FINAL_STATE_SQL + """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+            GROUP BY source
         """,
         "t8_tumbling_window": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

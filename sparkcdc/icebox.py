@@ -812,7 +812,11 @@ class IceboxTable:
             if st is None or not st.has_min_max:
                 return None
             mn, mx = st.min, st.max
-            if isinstance(mn, bytes) or isinstance(mx, bytes):
+            # manifest entries are JSON: only record JSON-native bounds
+            # (datetime/bytes keys would need encoding — skip, stay safe)
+            if not isinstance(mn, (str, int, float)) or not isinstance(
+                mx, (str, int, float)
+            ):
                 return None
             if isinstance(mn, str) and (len(mn) > 64 or len(mx) > 64):
                 return None
@@ -861,12 +865,23 @@ class IceboxTable:
     # ---------------- maintenance ----------------
 
     def compact(
-        self, *, drop_tombstones: bool | None = None, conflict_retries: int = 3
+        self,
+        *,
+        drop_tombstones: bool | None = None,
+        max_buckets: int | None = None,
+        conflict_retries: int = 3,
     ) -> dict:
         """Rewrite every bucket that has >1 file (or tombstones) into one
         file. Metadata-only snapshot if nothing needs work. Long-running
         CDC tables accumulate one file set per commit; compaction bounds
-        read amplification — at scale, run per-bucket on a size threshold.
+        read amplification.
+
+        ``max_buckets`` bounds the WORK of one maintenance cycle: only the
+        worst ``max_buckets`` buckets (most files first — highest read
+        amplification) are folded, so at 100 TB compaction runs as many
+        small incremental commits interleaved with ingest instead of one
+        full-table pass; repeated calls converge (each returns
+        ``remaining_buckets`` still needing work).
 
         Tombstones are dropped by default ONLY for tables fed by fenced
         (ordered) delivery: under unordered delivery a late lower-seq
@@ -882,12 +897,16 @@ class IceboxTable:
             if attempt:
                 self.refresh()
             try:
-                return self._compact_once(drop_tombstones=drop_tombstones)
+                return self._compact_once(
+                    drop_tombstones=drop_tombstones, max_buckets=max_buckets
+                )
             except CommitConflictError as exc:
                 last_err = exc
         raise last_err
 
-    def _compact_once(self, *, drop_tombstones: bool | None) -> dict:
+    def _compact_once(
+        self, *, drop_tombstones: bool | None, max_buckets: int | None = None
+    ) -> dict:
         snap = self._snap
         if drop_tombstones is None:
             drop_tombstones = not snap.get("unordered_mode", False)
@@ -914,8 +933,22 @@ class IceboxTable:
                     if any(e.get("tombstones", True) for e in es)
                 }
             )
+        deferred = 0
+        if max_buckets is not None and len(todo) > max_buckets:
+            # worst-first: fold the buckets with the deepest file stacks
+            all_todo = set(todo)
+            todo = sorted(
+                sorted(todo, key=lambda b: len(by_bucket[b]), reverse=True)[
+                    :max_buckets
+                ]
+            )
+            deferred = len(all_todo - set(todo))
         if not todo:
-            return {"compacted_buckets": 0, "files_before": len(snap["manifest"])}
+            return {
+                "compacted_buckets": 0,
+                "files_before": len(snap["manifest"]),
+                "remaining_buckets": 0,
+            }
 
         entries = [e for b in todo for e in by_bucket[b]]
         df = self._read_manifest(snap, entries, with_seq=True)
@@ -946,6 +979,7 @@ class IceboxTable:
             "files_after": len(snap["manifest"])
             - sum(len(by_bucket[b]) for b in todo)
             + len(files_written),
+            "remaining_buckets": deferred,
         }
         self._try_commit(
             {

@@ -611,3 +611,97 @@ def test_rebucket_preserves_state_and_evolves_layout(spark, table):
 
     # no-op when the count is unchanged
     assert table.rebucket(32)["rebucketed"] is False
+
+
+def test_read_changes_across_rebucket_boundary(spark, table):
+    """Incremental reads spanning a partition-evolution commit stay
+    logical: the bucket-granular diff sees every bucket as changed (ids
+    mean different things across layouts), compares full states, and
+    emits only the real row-level changes — a rebucket alone diffs to
+    EMPTY, and rebucket+merge diffs to exactly the merge's changes."""
+    log = generate_changelog(spark, 3_000, 250, seed=103, delete_pct=10)
+    table.merge(scan_slice(log, 0, 1_500), "b1")
+    s1 = table.snapshot["snapshot_id"]
+    state1 = {r["doc_id"]: r["_seq"] for r in table.read(with_seq=True).collect()}
+
+    table.rebucket(32)
+    s_rb = table.snapshot["snapshot_id"]
+    assert table.read_changes(s1, s_rb).count() == 0  # layout-only: no logical change
+
+    table.merge(scan_slice(log, 1_500, 3_000), "b2")
+    state2 = {r["doc_id"]: r["_seq"] for r in table.read(with_seq=True).collect()}
+    rows = table.read_changes(s1, mode="cdf").collect()
+    post = {
+        r["doc_id"]: r["_seq"] for r in rows
+        if r["_change_type"] in ("insert", "update_postimage")
+    }
+    dels = {r["doc_id"] for r in rows if r["_change_type"] == "delete"}
+    replayed = {k: v for k, v in state1.items() if k not in dels}
+    replayed.update(post)
+    assert replayed == state2
+
+
+def test_incremental_compaction_bounded_work(spark, table):
+    """max_buckets bounds one maintenance cycle's work: only the worst
+    (deepest file stack) buckets fold per call, repeated calls converge
+    to fully-compacted, and visible state never changes — the 100 TB
+    pattern of small compaction commits interleaved with ingest."""
+    log = generate_changelog(spark, 3_000, 300, seed=105, dup_pct=10)
+    for lo in range(0, 3_000, 600):
+        table.merge(scan_slice(log, lo, lo + 600), f"b{lo}", mor=True)
+    before = {r["doc_id"]: r["_seq"] for r in table.read(with_seq=True).collect()}
+    multi = [
+        b for b in {e["bucket"] for e in table.snapshot["manifest"]}
+        if sum(1 for e in table.snapshot["manifest"] if e["bucket"] == b) > 1
+    ]
+    assert len(multi) > 2  # several buckets need work
+
+    res = table.compact(max_buckets=2)
+    assert res["compacted_buckets"] == 2
+    assert res["remaining_buckets"] > 0
+    assert {
+        r["doc_id"]: r["_seq"] for r in table.read(with_seq=True).collect()
+    } == before
+
+    rounds = 0
+    while table.compact(max_buckets=2)["remaining_buckets"] > 0:
+        rounds += 1
+        assert rounds < 20
+    # converged: at most one file per bucket, state intact
+    per_bucket: dict[int, int] = {}
+    for e in table.snapshot["manifest"]:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
+    expected = oracle.replay(log.toPandas())
+    oracle.assert_table_equal(table.read().toPandas(), expected)
+
+
+def test_rebucket_folds_old_schema_files_forward(spark, table):
+    """A rebucket after mid-stream schema evolution normalizes v1-era
+    files to the current schema while re-hashing (one rewrite pays both
+    debts): every rewritten manifest entry is current-version, and the
+    visible state matches the evolved-schema oracle exactly."""
+    from sparkcdc.icebox import bucket_expr
+
+    v1 = generate_changelog(spark, 2_000, 200, seed=6, schema_version=1)
+    table.merge(v1, "b1")
+    table.update_schema(SCHEMA_V2)
+    # second merge touches only a bucket subset so v1-era files SURVIVE
+    v2 = generate_changelog(spark, 4_000, 200, seed=6, schema_version=2).where(
+        (F.col("seq") > 2_000) & (bucket_expr("doc_id", 8) < 2)
+    )
+    table.merge(v2, "b2")
+    assert {e["schema_v"] for e in table.snapshot["manifest"]} == {1, 2}
+
+    table.rebucket(32)
+    assert {e["schema_v"] for e in table.snapshot["manifest"]} == {2}
+    got = table.read()
+    assert dict(got.dtypes)["n_tok"] == "bigint" and "lang" in got.columns
+    full = v1.withColumn("lang", F.lit(None).cast("string")).unionByName(v2)
+    expected = oracle.replay(
+        full.toPandas(), value_cols=["tokens", "n_tok", "source", "lang"]
+    )
+    actual = got.toPandas()
+    actual["n_tok"] = actual["n_tok"].astype("int64")
+    expected["n_tok"] = expected["n_tok"].astype("int64")
+    oracle.assert_table_equal(actual, expected)
