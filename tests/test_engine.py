@@ -929,3 +929,36 @@ def test_spark_submit_pyfiles_end_to_end(tmp_path):
     assert totals["applied_events"] >= 5000 and totals["batches"] == 2
     # the submitted driver committed a real table on shared storage
     assert IceboxTable.exists(table_path)
+
+
+def test_chaos_with_partition_evolution(spark, tmp_path):
+    """The chaos scenario with partition evolution injected: duplicates +
+    shuffle + hot key + mid-stream SCHEMA evolution + kill/resume, and
+    the table is REBUCKETED twice at arbitrary points between engine
+    sessions (8→32 mid-v1, 32→16 mid-v2). Final state must still equal
+    the layout-blind oracle byte-for-byte."""
+    v1 = generate_changelog(spark, 3_000, 250, seed=67, dup_pct=15,
+                            shuffled=True, hot_key_pct=40, schema_version=1)
+    v2 = generate_changelog(spark, 6_000, 250, seed=67, dup_pct=15,
+                            shuffled=True, hot_key_pct=40,
+                            schema_version=2).where(F.col("seq") > 3_000)
+    tbl = str(tmp_path / "tbl")
+    cfg = dict(log_path="unused", table_path=tbl, batch_size=500,
+               merge_mode="auto", compact_delta_files=10, n_buckets=8)
+    CDCEngine(spark, JobConfig(**cfg), log_df=v1).run(max_batches=3)
+    IceboxTable.load(spark, tbl).rebucket(32)
+    CDCEngine(spark, JobConfig(**cfg), log_df=v1).run()
+    CDCEngine(spark, JobConfig(**cfg), log_df=v2).run(max_batches=2)
+    IceboxTable.load(spark, tbl).rebucket(16)
+    eng = CDCEngine(spark, JobConfig(**cfg), log_df=v2)
+    eng.run()
+
+    assert eng.table.n_buckets == 16
+    full = v1.withColumn("lang", F.lit(None).cast("string")).withColumn(
+        "n_tok", F.col("n_tok").cast("long")).unionByName(v2)
+    expected = oracle.replay(full.toPandas(),
+                             value_cols=["tokens", "n_tok", "source", "lang"])
+    got = eng.read_table().toPandas()
+    got["n_tok"] = got["n_tok"].astype("int64")
+    expected["n_tok"] = expected["n_tok"].astype("int64")
+    oracle.assert_table_equal(got, expected)

@@ -705,3 +705,30 @@ def test_rebucket_folds_old_schema_files_forward(spark, table):
     actual["n_tok"] = actual["n_tok"].astype("int64")
     expected["n_tok"] = expected["n_tok"].astype("int64")
     oracle.assert_table_equal(actual, expected)
+
+
+def test_rebucket_preserves_tombstones_on_unordered_table(spark, tmp_path):
+    """Unordered-delivery tables keep their tombstones through a rebucket
+    (same rule as compact): a late LOWER-seq update for a deleted doc must
+    stay dead in the NEW layout — dropping tombstones during the rewrite
+    would let it resurrect."""
+    t = IceboxTable.create(spark, str(tmp_path / "rb_ts"), SCHEMA_V1, n_buckets=4)
+    log = generate_changelog(spark, 2_000, 150, seed=107, delete_pct=30)
+    t.merge(log, "b1", fence=False, tombstones=True)
+    visible = t.read().toPandas()
+    n_with_tombs = t.read(include_tombstones=True).count()
+    assert n_with_tombs > len(visible)
+
+    t.rebucket(16)
+    assert t.read(include_tombstones=True).count() == n_with_tombs
+    oracle.assert_table_equal(t.read().toPandas(), visible)
+
+    tomb = t.read(include_tombstones=True, with_seq=True)
+    dead = tomb.where(F.col("_deleted")).select("doc_id", "_seq").first()
+    late = spark.createDataFrame(
+        [(int(dead["_seq"]) - 1, "upsert", dead["doc_id"], [9], 1, "late", None)],
+        "seq: long, op: string, doc_id: string, tokens: array<int>, "
+        "n_tok: int, source: string, ts: timestamp",
+    )
+    t.merge(late, "late-echo", fence=False, tombstones=True)
+    assert t.read().where(F.col("doc_id") == dead["doc_id"]).count() == 0
