@@ -37,10 +37,33 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--master", default=None)
     p.add_argument("--preview", action="store_true", help="show next 10 events, commit nothing")
+    p.add_argument("--target-bucket-bytes", type=int, default=None,
+                   help="auto partition evolution: double n_buckets when the "
+                        "average bucket exceeds this many bytes")
+    p.add_argument("--rebucket", type=int, default=None, metavar="N",
+                   help="maintenance: rebucket the table to N buckets and exit")
+    p.add_argument("--compact", action="store_true",
+                   help="maintenance: run one compaction cycle and exit")
+    p.add_argument("--compact-max-buckets", type=int, default=None,
+                   help="bound one compaction cycle to the worst N buckets")
     args = p.parse_args(argv)
 
     spark = get_spark(app="sparkcdc-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.rebucket is not None or args.compact:
+        # maintenance commands operate on an existing table, no log needed
+        from .icebox import IceboxTable
+
+        t = IceboxTable.load(spark, args.table)
+        if args.rebucket is not None:
+            print(json.dumps({"kind": "rebucket", **t.rebucket(args.rebucket)}))
+        if args.compact:
+            print(json.dumps({
+                "kind": "compact",
+                **t.compact(max_buckets=args.compact_max_buckets),
+            }))
+        return 0
 
     log_path = args.log
     if log_path is None:
@@ -56,6 +79,7 @@ def main(argv: list[str] | None = None) -> int:
         batch_size=args.batch_size, n_buckets=args.n_buckets,
         log_format=args.log_format, merge_mode=args.merge_mode,
         compact_every=args.compact_every,
+        target_bucket_bytes=args.target_bucket_bytes,
     )
     from .config import ConfigError, extract_error_messages
 
@@ -65,8 +89,11 @@ def main(argv: list[str] | None = None) -> int:
             for row in engine.preview().collect():
                 print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
             return 0
-        for lo, hi in engine.plan_batches():
-            print(json.dumps(engine.apply_batch(lo, hi)))
+        # run() drives batches AND stats-driven maintenance (auto-rebucket,
+        # periodic/threshold compaction); every emitted record is printed
+        engine.run()
+        for rec in engine.metrics.records:
+            print(json.dumps(rec))
         totals = engine.metrics.totals()
         print(json.dumps({"kind": "totals", **totals,
                           "table_rows": engine.read_table().count()}))

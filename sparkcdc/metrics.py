@@ -28,8 +28,12 @@ class MetricsLog:
         applied = sum(r.get("applied_events", 0) for r in self.records)
         range_w = sum(r.get("range_width", 0) for r in self.records)
         dur = sum(r.get("duration_sec", 0.0) for r in self.records)
+        n_batches = sum(
+            1 for r in self.records
+            if r.get("kind", "batch") in ("batch", "stream-batch")
+        )
         return {
-            "batches": len(self.records),
+            "batches": n_batches,
             "applied_events": applied,
             "range_width": range_w,
             "duration_sec": dur,
