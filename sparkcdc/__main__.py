@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
         # maintenance commands operate on an existing table, no log needed
         from .icebox import IceboxTable
 
+        if not IceboxTable.exists(args.table):
+            print(json.dumps({"kind": "error",
+                              "message": f"no icebox table at {args.table!r}"}),
+                  file=sys.stderr)
+            return 1
         t = IceboxTable.load(spark, args.table)
         if args.rebucket is not None:
             print(json.dumps({"kind": "rebucket", **t.rebucket(args.rebucket)}))
@@ -90,10 +95,10 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
             return 0
         # run() drives batches AND stats-driven maintenance (auto-rebucket,
-        # periodic/threshold compaction); every emitted record is printed
+        # periodic/threshold compaction); records print THROUGH as they are
+        # emitted so operators tailing a long replay see live progress
+        engine.metrics.on_emit = lambda rec: print(json.dumps(rec), flush=True)
         engine.run()
-        for rec in engine.metrics.records:
-            print(json.dumps(rec))
         totals = engine.metrics.totals()
         print(json.dumps({"kind": "totals", **totals,
                           "table_rows": engine.read_table().count()}))

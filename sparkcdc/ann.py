@@ -230,6 +230,56 @@ def _band_tagged(
     return tagged
 
 
+def approx_row_count(df: DataFrame) -> int | None:
+    """Row count with ZERO Spark jobs when the plan is a bare (possibly
+    projected/aliased) parquet scan: sum each input file's parquet-footer
+    ``num_rows`` driver-side — the Iceberg-manifest-stats analog for raw
+    paths. Returns None (caller falls back to ``df.count()``) when the plan
+    filters/joins/aggregates (those change the row count), the source is
+    not local parquet, or anything about the plan is unrecognized.
+
+    Exists so the computed skew caps (``default_bucket_cap`` callers) do
+    not launch a full count scan per call: at 10⁹ rows the count job reads
+    every footer anyway — doing it driver-side is bounded by file count,
+    not row count, and costs no cluster job at all."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        while True:
+            name = node.getClass().getSimpleName()
+            if name in ("Project", "SubqueryAlias"):
+                node = node.children().head()
+                continue
+            if not name.startswith("LogicalRelation"):
+                return None
+            break
+        files = df.inputFiles()
+        if not files or not all(f.endswith(".parquet") for f in files):
+            return None
+        import urllib.parse
+        import urllib.request
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            parsed = urllib.parse.urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                return None  # remote object store: no cheap local footer read
+            total += pq.ParquetFile(urllib.request.url2pathname(parsed.path)).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
+def _cap_row_count(df: DataFrame, n_rows: int | None) -> int:
+    """Row count for computing a default skew cap: caller-supplied if
+    known, else the zero-job footer count, else one count() job."""
+    if n_rows is not None:
+        return int(n_rows)
+    fast = approx_row_count(df)
+    return fast if fast is not None else df.count()
+
+
 def default_bucket_cap(n_rows: int, n_buckets_per_band: int) -> int:
     """Computed skew cap: ~8× the uniform expected bucket size, floored at
     512 so small corpora are never touched. A bucket only hits this cap
@@ -267,6 +317,7 @@ def cosine_near_dup_pairs(
     n_bands: int = 4,
     seed: int = 42,
     max_bucket: int | None = None,
+    n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -281,10 +332,13 @@ def cosine_near_dup_pairs(
     over-dense region's O(b²) pair set is refused out of the box — hot
     buckets are deterministically downsampled on BOTH sides and pair
     recall degrades only there (documented trade). ``max_bucket=0``
-    disables the cap (exactness / oracle mode)."""
+    disables the cap (exactness / oracle mode). ``n_rows`` (caller-known
+    corpus size, e.g. from table manifest stats) skips the row-count probe;
+    otherwise a zero-job parquet-footer count is tried before falling back
+    to one count() job."""
     dim = len(emb.select(vec_col).first()[0])
     if max_bucket is None:
-        max_bucket = default_bucket_cap(emb.count(), 2 ** n_planes)
+        max_bucket = default_bucket_cap(_cap_row_count(emb, n_rows), 2 ** n_planes)
     tagged = _band_tagged(
         emb, id_col=id_col, vec_col=vec_col, dim=dim,
         n_planes=n_planes, n_bands=n_bands, seed=seed,
@@ -314,6 +368,7 @@ def lsh_ann_topk(
     n_bands: int = 4,
     seed: int = 42,
     max_bucket: int | None = None,
+    n_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -326,10 +381,13 @@ def lsh_ann_topk(
     whose bucket is hot still probes it and gets degraded-but-nonempty
     results instead of silently vanishing from the output. Defaults ON:
     ``None`` computes ~8× the uniform bucket size (``default_bucket_cap``);
-    ``0`` disables the cap (exactness / oracle mode)."""
+    ``0`` disables the cap (exactness / oracle mode). ``n_rows`` (if the
+    caller already knows the corpus size — e.g. from table manifest stats)
+    skips the row-count probe entirely; otherwise a zero-job parquet-footer
+    count is tried before falling back to one count() job."""
     dim = len(emb.select(vec_col).first()[0])
     if max_bucket is None:
-        max_bucket = default_bucket_cap(emb.count(), 2 ** n_planes)
+        max_bucket = default_bucket_cap(_cap_row_count(emb, n_rows), 2 ** n_planes)
     tagged = _band_tagged(
         emb, id_col=id_col, vec_col=vec_col, dim=dim,
         n_planes=n_planes, n_bands=n_bands, seed=seed, max_bucket=None,

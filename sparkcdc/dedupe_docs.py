@@ -229,6 +229,7 @@ def simhash_near_pairs(
     max_hamming: int = 4,
     text_col: str = "text",
     max_chunk: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
     (pigeonhole: hamming ≤ 4 pairs almost always share a chunk at ≤3
@@ -242,11 +243,13 @@ def simhash_near_pairs(
     floored at 512 so small corpora are untouched); oversized chunk
     groups are deterministically downsampled (xxhash64 order) on both
     join sides — recall degrades only in the pathological region.
-    ``max_chunk=0`` disables the cap (exactness / oracle mode)."""
-    from .ann import default_bucket_cap
+    ``max_chunk=0`` disables the cap (exactness / oracle mode). ``n_rows``
+    (caller-known corpus size) skips the row-count probe; otherwise a
+    zero-job parquet-footer count is tried before one count() job."""
+    from .ann import _cap_row_count, default_bucket_cap
 
     if max_chunk is None:
-        max_chunk = default_bucket_cap(df.count(), 65536)
+        max_chunk = default_bucket_cap(_cap_row_count(df, n_rows), 65536)
     h = df.select("doc_id", simhash64(F.col(text_col)).alias("sim"))
     # band the bits into (idx, value) chunks — both must match to be a candidate
     chunks = h.select(

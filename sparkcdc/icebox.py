@@ -585,7 +585,15 @@ class IceboxTable:
         for e in entries:
             if "key_min" not in e or "key_max" not in e:
                 out.append(e)
-            elif any(e["key_min"] <= k <= e["key_max"] for k in keys):
+                continue
+            try:
+                hit = any(e["key_min"] <= k <= e["key_max"] for k in keys)
+            except TypeError:
+                # caller-supplied key type not comparable with the
+                # JSON-restored bounds (e.g. int key vs string bounds):
+                # degrade to no pruning, same fallback as missing stats
+                hit = True
+            if hit:
                 out.append(e)
         return out
 
@@ -1044,11 +1052,18 @@ class IceboxTable:
             .parquet(out_path)
         )
         files_written, rows_out = self._register_files(out_path, snap["schema_version"])
-        per_bucket: dict[str, int] = {}
+        # every bucket of the NEW layout has logically applied everything up
+        # to the global fence (the rewrite is a snapshot of that state), so
+        # per-bucket lineage is floored at the carried global LSN — without
+        # the floor, buckets whose newest rows were dropped tombstones (or
+        # that came out empty) would report an understated/missing
+        # last-applied LSN to per-partition lineage consumers (T7)
+        glob_lsn = int(snap["lineage"]["last_applied_lsn"])
+        per_bucket: dict[str, int] = {str(b): glob_lsn for b in range(new_n_buckets)}
         for e in files_written:
             if "seq_max" in e:
                 b = str(e["bucket"])
-                per_bucket[b] = max(per_bucket.get(b, 0), int(e["seq_max"]))
+                per_bucket[b] = max(per_bucket.get(b, glob_lsn), int(e["seq_max"]))
         metrics = {
             "rebucketed": True,
             "n_buckets_before": old_nb,

@@ -10,8 +10,11 @@ import time
 
 
 class MetricsLog:
-    def __init__(self, table_path: str | None = None):
+    def __init__(self, table_path: str | None = None, on_emit=None):
         self.records: list[dict] = []
+        # optional print-through callback: called with each record as it is
+        # emitted (live progress for CLI/operator tails of long replays)
+        self.on_emit = on_emit
         self._path = (
             os.path.join(table_path, "metadata", "metrics.jsonl") if table_path else None
         )
@@ -22,6 +25,8 @@ class MetricsLog:
         if self._path:
             with open(self._path, "a") as fh:
                 fh.write(json.dumps(record) + "\n")
+        if self.on_emit is not None:
+            self.on_emit(record)
         return record
 
     def totals(self) -> dict:

@@ -360,3 +360,56 @@ def test_lsh_default_caps_inert_at_small_scale(emb):
     d = {tuple(r) for r in lsh_ann_topk(
         emb, n_queries=3, k=5, n_planes=6, n_bands=2, max_bucket=0).collect()}
     assert c == d and c
+
+
+def test_approx_row_count_zero_job_footer_path(spark):
+    """The computed-cap row count must not cost a full count() scan when
+    the input is a bare parquet scan: approx_row_count answers from
+    parquet footers driver-side (zero Spark jobs) and returns None — never
+    a wrong number — for plans whose row count differs from the scan's."""
+    from sparkcdc.ann import approx_row_count
+
+    raw = spark.read.parquet(f"{SF}/documents.parquet")
+    true_n = raw.count()
+    assert approx_row_count(raw) == true_n
+    # projection/alias don't change row count → still answered from footers
+    assert approx_row_count(raw.select("doc_id", "text").alias("d")) == true_n
+    # filters/aggregates/limits change row count → must refuse (None)
+    assert approx_row_count(raw.where(F.col("n_chars") > 3)) is None
+    assert approx_row_count(raw.groupBy("source").count()) is None
+    assert approx_row_count(raw.limit(5)) is None
+    # non-parquet source → refuse
+    mem = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
+    assert approx_row_count(mem) is None
+
+
+def test_default_cap_paths_launch_no_count_job(spark, monkeypatch):
+    """Regression for the computed-cap extra scan: with a parquet-backed
+    input (or a caller-supplied n_rows), the default-cap paths must never
+    fall back to DataFrame.count() for the cap probe."""
+    from pyspark.sql import DataFrame
+
+    from sparkcdc.ann import cosine_near_dup_pairs, lsh_ann_topk
+
+    emb_raw = spark.read.parquet(f"{SF}/embeddings.parquet")
+    docs_raw = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+    real_count = DataFrame.count
+
+    def boom(self):
+        raise AssertionError("cap probe fell back to a count() job")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    try:
+        p1 = cosine_near_dup_pairs(emb_raw, threshold=0.4, n_planes=6, n_bands=2)
+        p2 = lsh_ann_topk(emb_raw, n_queries=2, k=3, n_planes=6, n_bands=2)
+        p3 = simhash_near_pairs(docs_raw, max_hamming=4)
+        # n_rows short-circuits even for non-parquet inputs
+        mem = spark.createDataFrame(
+            [(i, "hello world") for i in range(30)], "doc_id: long, text: string"
+        )
+        p4 = simhash_near_pairs(mem, n_rows=30)
+    finally:
+        monkeypatch.setattr(DataFrame, "count", real_count)
+    assert p1.count() >= 0 and p2.count() >= 0
+    assert p3.count() >= 0 and p4.count() > 0

@@ -732,3 +732,36 @@ def test_rebucket_preserves_tombstones_on_unordered_table(spark, tmp_path):
     )
     t.merge(late, "late-echo", fence=False, tombstones=True)
     assert t.read().where(F.col("doc_id") == dead["doc_id"]).count() == 0
+
+
+def test_entries_for_keys_type_mismatch_degrades_to_no_pruning():
+    """A caller-supplied key whose type can't compare against the
+    JSON-restored bounds (int vs string) must keep the entry
+    conservatively, not raise TypeError on the driver."""
+    entries = [
+        {"path": "a", "bucket": 0, "key_min": "a000", "key_max": "a999"},
+        {"path": "n", "bucket": 0, "key_min": 100, "key_max": 200},
+    ]
+    got = IceboxTable._entries_for_keys(entries, [150])
+    # int key: prunes by the int bounds, keeps the string-bounds entry
+    assert {e["path"] for e in got} == {"a", "n"}
+    got = IceboxTable._entries_for_keys(entries, ["a500"])
+    assert {e["path"] for e in got} == {"a", "n"}
+
+
+def test_rebucket_lineage_floored_at_global_fence(spark, table):
+    """After a rebucket, EVERY bucket of the new layout reports a
+    last-applied LSN >= the carried global fence — including buckets whose
+    newest rows were dropped tombstones or that came out empty — so
+    per-partition lineage consumers don't see a regression across
+    maintenance rewrites (ADVICE r3)."""
+    log = generate_changelog(spark, 2_000, 150, seed=7)
+    table.merge(scan_slice(log, 0, 2_000), "b1")
+    glob = int(table.lineage["last_applied_lsn"])
+    assert glob > 0
+    table.rebucket(16)
+    lin = table.lineage
+    assert int(lin["last_applied_lsn"]) == glob
+    per = lin["per_bucket"]
+    assert set(per) == {str(b) for b in range(16)}
+    assert all(int(v) >= glob for v in per.values())
