@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .commitstore import CommitStore, PosixCommitStore
 from .dedup import lww_dedup
 
 SEQ_COL = "_seq"  # system column: last-writer LSN per row
@@ -127,10 +128,15 @@ def _normalize_to(df: DataFrame, target: T.StructType, *, evolved: bool) -> Data
 class IceboxTable:
     """Snapshot-committed, hash-bucketed keyed table."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, *, store: CommitStore | None = None):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._meta_dir = os.path.join(self.path, "metadata")
+        # every metadata read/write/CAS goes through the CommitStore — the
+        # POSIX default keeps the on-disk layout; an object-store impl
+        # (conditional PUT, see commitstore.py) slots in without touching
+        # the commit protocol
+        self._store = store if store is not None else PosixCommitStore(self._meta_dir)
         self._snap = self._load_current()
 
     # ---------------- lifecycle ----------------
@@ -144,11 +150,12 @@ class IceboxTable:
         *,
         key: str = "doc_id",
         n_buckets: int = 64,
+        store: CommitStore | None = None,
     ) -> "IceboxTable":
         path = os.path.abspath(path)
-        meta = os.path.join(path, "metadata")
-        os.makedirs(meta, exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        if store is None:
+            store = PosixCommitStore(os.path.join(path, "metadata"))
         snap = {
             "snapshot_id": 0,
             "parent": None,
@@ -162,13 +169,13 @@ class IceboxTable:
             "lineage": {"last_applied_lsn": 0, "per_bucket": {}},
             "summary": {"operation": "create", "total_rows": 0},
         }
-        cls._write_checkpoint(meta, snap)
-        cls._write_version(meta, 0)
-        return cls(spark, path)
+        cls._write_checkpoint(store, snap)
+        cls._write_version(store, 0)
+        return cls(spark, path, store=store)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "IceboxTable":
-        return cls(spark, path)
+    def load(cls, spark: SparkSession, path: str, *, store: CommitStore | None = None) -> "IceboxTable":
+        return cls(spark, path, store=store)
 
     @staticmethod
     def exists(path: str) -> bool:
@@ -176,26 +183,26 @@ class IceboxTable:
 
     # -------- metadata commit log (delta files + checkpoints) --------
 
-    def _commit_path(self, sid: int) -> str:
-        return os.path.join(self._meta_dir, f"commit-{sid}.json")
+    @staticmethod
+    def _commit_name(sid: int) -> str:
+        return f"commit-{sid}.json"
 
-    def _checkpoint_path(self, sid: int) -> str:
-        return os.path.join(self._meta_dir, f"checkpoint-{sid}.json")
+    @staticmethod
+    def _checkpoint_name(sid: int) -> str:
+        return f"checkpoint-{sid}.json"
 
     def _log_ids(self, kind: str) -> list[int]:
         out = []
-        for p in glob.glob(os.path.join(self._meta_dir, f"{kind}-*.json")):
-            out.append(int(os.path.basename(p).rsplit("-", 1)[1].split(".")[0]))
+        for n in self._store.list_names(f"{kind}-"):
+            out.append(int(n.rsplit("-", 1)[1].split(".")[0]))
         return sorted(out)
 
     def _history_ids(self) -> list[int]:
         """All snapshot ids still materializable from the log."""
         return sorted(set(self._log_ids("commit")) | set(self._log_ids("checkpoint")))
 
-    @staticmethod
-    def _read_json(path: str) -> dict:
-        with open(path) as fh:
-            return json.load(fh)
+    def _read_json(self, name: str) -> dict:
+        return json.loads(self._store.get(name))
 
     @staticmethod
     def _apply_delta(snap: dict, delta: dict) -> dict:
@@ -248,9 +255,9 @@ class IceboxTable:
                 f"snapshot {upto} not found (expired?); "
                 f"available snapshots: {self._history_ids()}"
             )
-        snap = self._read_json(self._checkpoint_path(ckpts[-1]))
+        snap = self._read_json(self._checkpoint_name(ckpts[-1]))
         for sid in range(ckpts[-1] + 1, upto + 1):
-            snap = self._apply_delta(snap, self._read_json(self._commit_path(sid)))
+            snap = self._apply_delta(snap, self._read_json(self._commit_name(sid)))
         return snap
 
     def _load_current(self) -> dict:
@@ -266,21 +273,18 @@ class IceboxTable:
         return self._snap
 
     @staticmethod
-    def _write_checkpoint(meta_dir: str, snap: dict) -> None:
-        tmp = os.path.join(meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(snap, fh)
-        os.replace(tmp, os.path.join(meta_dir, f"checkpoint-{snap['snapshot_id']}.json"))
+    def _write_checkpoint(store: CommitStore, snap: dict) -> None:
+        store.put(
+            f"checkpoint-{snap['snapshot_id']}.json", json.dumps(snap).encode()
+        )
 
     @staticmethod
-    def _write_version(meta_dir: str, sid: int) -> None:
+    def _write_version(store: CommitStore, sid: int) -> None:
         # best-effort cache of the newest id (existence marker + hint);
         # the commit log itself is authoritative, so a stale VERSION after
-        # a lost pointer race is harmless
-        tmp = os.path.join(meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            fh.write(str(sid))
-        os.replace(tmp, os.path.join(meta_dir, "VERSION"))
+        # a lost pointer race is harmless — which is exactly why a plain
+        # last-write-wins put (object-store PutObject) suffices here
+        store.put("VERSION", str(sid).encode())
 
     @staticmethod
     def _delta_conflicts(ours: dict, theirs: dict) -> bool:
@@ -302,26 +306,27 @@ class IceboxTable:
     def _try_commit(self, delta: dict) -> dict | None:
         """Optimistically publish a commit delta.
 
-        The atomic create of `commit-<id>.json` (os.link, create-if-absent)
-        is the CAS. Losing the race to a DISJOINT commit rebases: the delta
-        is bucket-granular, so re-parenting it past the winner yields the
-        same final state as a serial execution. Losing to an overlapping
-        commit raises CommitConflictError (caller recomputes). Returns the
-        new materialized snapshot, or None when an intervening commit
-        already carries this delta's batch_id (concurrent duplicate driver:
-        exactly-once, the re-commit is skipped)."""
+        The atomic create of `commit-<id>.json` (CommitStore.put_if_absent:
+        os.link on POSIX, conditional PUT on S3/GCS) is the CAS. Losing the
+        race to a DISJOINT commit rebases: the delta is bucket-granular, so
+        re-parenting it past the winner yields the same final state as a
+        serial execution. Losing to an overlapping commit raises
+        CommitConflictError (caller recomputes). Returns the new
+        materialized snapshot, or None when an intervening commit already
+        carries this delta's batch_id (concurrent duplicate driver:
+        exactly-once, the re-commit is skipped).
+
+        Checkpoint + VERSION writes after a won CAS are best-effort
+        derivations of the log: a crash between the CAS and those writes
+        leaves a fully-committed table (the next reader folds the commit
+        file; the next commit at a checkpoint boundary re-derives it)."""
         parent = delta["parent"]
         for _ in range(MAX_REBASES):
             target = parent + 1
             d = {**delta, "snapshot_id": target, "parent": parent}
-            tmp = os.path.join(self._meta_dir, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as fh:
-                json.dump(d, fh)
-            try:
-                os.link(tmp, self._commit_path(target))
-            except FileExistsError:
-                os.unlink(tmp)
-                theirs = self._read_json(self._commit_path(target))
+            payload = json.dumps(d).encode()
+            if not self._store.put_if_absent(self._commit_name(target), payload):
+                theirs = self._read_json(self._commit_name(target))
                 if delta.get("batch_id") and theirs.get("batch_id") == delta["batch_id"]:
                     return None
                 if self._delta_conflicts(delta, theirs):
@@ -332,11 +337,10 @@ class IceboxTable:
                     )
                 parent = target
                 continue
-            os.unlink(tmp)
             self._snap = self._materialize(target)
             if target % CHECKPOINT_EVERY == 0:
-                self._write_checkpoint(self._meta_dir, self._snap)
-            self._write_version(self._meta_dir, target)
+                self._write_checkpoint(self._store, self._snap)
+            self._write_version(self._store, target)
             return self._snap
         raise CommitConflictError(f"gave up after {MAX_REBASES} rebases")
 
@@ -371,9 +375,9 @@ class IceboxTable:
         ckpts = set(self._log_ids("checkpoint"))
         for sid in self._history_ids():
             if sid in ckpts:
-                snap = self._read_json(self._checkpoint_path(sid))
+                snap = self._read_json(self._checkpoint_name(sid))
             else:
-                snap = self._apply_delta(snap, self._read_json(self._commit_path(sid)))
+                snap = self._apply_delta(snap, self._read_json(self._commit_name(sid)))
             out.append(snap)
         return out
 
@@ -424,21 +428,108 @@ class IceboxTable:
             df = self._resolve_lww(df)
         return df
 
+    @staticmethod
+    def _entry_may_match(e: dict, col: str, op: str, val) -> bool:
+        """Can a file possibly hold a row matching ``col <op> val``, from
+        its manifest [min, max]? Missing stats or uncomparable types →
+        True (conservative, same fallback as key-range pruning)."""
+        st = e.get("col_stats", {}).get(col)
+        if st is None:
+            return True
+        lo, hi = st
+        try:
+            if op == "=":
+                return lo <= val <= hi
+            if op == "<":
+                return lo < val
+            if op == "<=":
+                return lo <= val
+            if op == ">":
+                return hi > val
+            if op == ">=":
+                return hi >= val
+            if op == "between":
+                v1, v2 = val
+                return not (hi < v1 or lo > v2)
+        except TypeError:
+            return True
+        raise ValueError(f"unsupported filter op {op!r}")
+
+    @classmethod
+    def _prune_by_filters(
+        cls, entries: list[dict], filters: list[tuple]
+    ) -> list[dict]:
+        """Manifest-level data skipping: drop entries whose column bounds
+        prove no row can match ALL the filters. Bucket-aware safety: a
+        bucket holding merge-on-read delta files is NEVER pruned — a
+        delta row masks older base rows via LWW, so every file of such a
+        bucket must be read for correct resolution (dropping the winner's
+        file would resurrect a stale matching row)."""
+        delta_buckets = {e["bucket"] for e in entries if e.get("kind") == "delta"}
+        out = []
+        for e in entries:
+            if e["bucket"] in delta_buckets:
+                out.append(e)
+            elif all(cls._entry_may_match(e, c, op, v) for (c, op, v) in filters):
+                out.append(e)
+        return out
+
+    @staticmethod
+    def _filters_expr(filters: list[tuple]) -> F.Column:
+        expr = F.lit(True)
+        for c, op, v in filters:
+            col = F.col(c)
+            if op == "=":
+                cond = col == F.lit(v)
+            elif op == "<":
+                cond = col < F.lit(v)
+            elif op == "<=":
+                cond = col <= F.lit(v)
+            elif op == ">":
+                cond = col > F.lit(v)
+            elif op == ">=":
+                cond = col >= F.lit(v)
+            elif op == "between":
+                cond = col.between(F.lit(v[0]), F.lit(v[1]))
+            else:
+                raise ValueError(f"unsupported filter op {op!r}")
+            expr = expr & cond
+        return expr
+
     def read(
         self,
         snapshot_id: int | None = None,
         *,
         with_seq: bool = False,
         include_tombstones: bool = False,
+        filters: list[tuple] | None = None,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame. Tables with
-        delta files (merge-on-read commits) resolve LWW at read time."""
+        delta files (merge-on-read commits) resolve LWW at read time.
+
+        ``filters`` — simple conjunctive predicates
+        ``[(col, op, value), ...]`` with op in {=, <, <=, >, >=, between}
+        — enable MANIFEST-LEVEL data skipping: files whose recorded
+        [min, max] for the column cannot match are dropped from the scan
+        at plan time (the Iceberg column-metrics analog), and the same
+        predicate is applied to the surviving rows (post-LWW, so
+        merge-on-read buckets resolve before filtering). On a 100 TB
+        table a selective range read launches tasks for O(matching
+        files), not O(table) — row-group pushdown alone still opens
+        every file's footer."""
         snap = self._snap
         if snapshot_id is not None:
             snap = self._snapshot_by_id(snapshot_id)
-        out = self._resolved(snap, snap["manifest"])
+        entries = snap["manifest"]
+        if filters:
+            entries = self._prune_by_filters(entries, filters)
+        out = self._resolved(snap, entries)
         if not include_tombstones:
             out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if filters:
+            # post-LWW row filter: for all-base buckets Catalyst pushes it
+            # straight down to the parquet scan (no aggregation between)
+            out = out.where(self._filters_expr(filters))
         return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
 
     def _snapshot_by_id(self, snapshot_id: int) -> dict:
@@ -653,23 +744,63 @@ class IceboxTable:
         raise CommitConflictError("update_schema kept losing to concurrent schema changes")
 
     # ---------------- incremental-consumer registry ----------------
+    #
+    # The registry uses the SAME create-if-absent CAS discipline as the
+    # commit log, as its own versioned-file chain `consumers-<v>.json`:
+    # a mutation reads the newest version, applies its change, and
+    # publishes v+1 with put_if_absent — a loser re-reads the winner's
+    # state and retries, so two consumers registering concurrently BOTH
+    # survive (the r3 read-modify-replace could lose one registration,
+    # whose from-snapshot then became expirable). Superseded versions are
+    # garbage-collected after a successful publish; a reader that races
+    # the GC (its listed version deleted under it) simply re-lists.
 
-    @property
-    def _consumers_path(self) -> str:
-        return os.path.join(self._meta_dir, "consumers.json")
+    def _consumer_versions(self) -> list[int]:
+        return sorted(
+            int(n.rsplit("-", 1)[1].split(".")[0])
+            for n in self._store.list_names("consumers-")
+        )
 
     def consumers(self) -> dict[str, int]:
         """Registered incremental readers: name → the from-snapshot they
         still need. ``expire_snapshots`` never drops a registered snapshot."""
-        if not os.path.exists(self._consumers_path):
-            return {}
-        return {k: int(v) for k, v in self._read_json(self._consumers_path).items()}
+        for _ in range(8):
+            vs = self._consumer_versions()
+            if not vs:
+                return {}
+            try:
+                regs = self._read_json(f"consumers-{vs[-1]}.json")
+            except FileNotFoundError:
+                continue  # lost a race with GC of superseded versions
+            return {k: int(v) for k, v in regs.items()}
+        raise CommitConflictError("consumer registry kept changing under reads")
 
-    def _write_consumers(self, regs: dict[str, int]) -> None:
-        tmp = os.path.join(self._meta_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(regs, fh)
-        os.replace(tmp, self._consumers_path)
+    def _mutate_consumers(self, mutate) -> dict[str, int]:
+        """CAS loop: publish mutate(current) as the next registry version.
+        Concurrent mutations serialize — none is ever lost."""
+        for _ in range(MAX_REBASES):
+            vs = self._consumer_versions()
+            if vs:
+                try:
+                    cur = {
+                        k: int(v)
+                        for k, v in self._read_json(f"consumers-{vs[-1]}.json").items()
+                    }
+                except FileNotFoundError:
+                    continue  # raced GC; re-list
+            else:
+                cur = {}
+            new = mutate(dict(cur))
+            nxt = (vs[-1] if vs else 0) + 1
+            if self._store.put_if_absent(
+                f"consumers-{nxt}.json", json.dumps(new).encode()
+            ):
+                for v in vs:  # GC superseded versions (idempotent deletes)
+                    self._store.delete(f"consumers-{v}.json")
+                return new
+        raise CommitConflictError(
+            f"consumer-registry CAS kept losing after {MAX_REBASES} attempts"
+        )
 
     def register_consumer(self, name: str, snapshot_id: int | None = None) -> int:
         """Pin a from-snapshot for an incremental (read_changes) consumer.
@@ -681,22 +812,26 @@ class IceboxTable:
                 f"cannot register consumer {name!r} at expired snapshot {sid}; "
                 f"available snapshots: {self._history_ids()}"
             )
-        regs = self.consumers()
-        regs[name] = sid
-        self._write_consumers(regs)
+        self._mutate_consumers(lambda regs: {**regs, name: sid})
         return sid
 
     def advance_consumer(self, name: str, snapshot_id: int) -> None:
-        regs = self.consumers()
-        regs[name] = max(int(snapshot_id), regs.get(name, 0))
-        self._write_consumers(regs)
+        self._mutate_consumers(
+            lambda regs: {**regs, name: max(int(snapshot_id), regs.get(name, 0))}
+        )
 
     def deregister_consumer(self, name: str) -> None:
-        regs = self.consumers()
-        if regs.pop(name, None) is not None:
-            self._write_consumers(regs)
+        self._mutate_consumers(
+            lambda regs: {k: v for k, v in regs.items() if k != name}
+        )
 
-    def expire_snapshots(self, *, keep_last: int = 5, sweep_orphans: bool = False) -> dict:
+    def expire_snapshots(
+        self,
+        *,
+        keep_last: int = 5,
+        sweep_orphans: bool = False,
+        orphan_grace_sec: float = 600.0,
+    ) -> dict:
         """Iceberg-style snapshot expiration: drop all but the newest
         ``keep_last`` snapshots and delete data files referenced ONLY by
         the dropped ones. Time travel remains available within the kept
@@ -712,9 +847,13 @@ class IceboxTable:
 
         ``sweep_orphans=True`` additionally removes data files referenced
         by NO kept snapshot at all — debris from merges that wrote files
-        but crashed before committing (or lost a commit conflict). Only
-        safe when no merge is in flight on this table (single-writer
-        maintenance window)."""
+        but crashed before committing (or lost a commit conflict). Safe to
+        run while merges are in flight: only unreferenced files OLDER than
+        ``orphan_grace_sec`` (mtime) are eligible, so a concurrent merge's
+        freshly-written, not-yet-committed files can never be deleted out
+        from under it — an in-flight commit either lands within the grace
+        window or is itself long-dead debris. Set ``orphan_grace_sec=0``
+        only inside an exclusive maintenance window."""
         snaps = self.snapshots()
         orphans = 0
         clamped = False
@@ -741,29 +880,31 @@ class IceboxTable:
                 pass
         if dropped:
             # new history floor must be a checkpoint for the fold to start at
-            self._write_checkpoint(self._meta_dir, kept[0])
+            self._write_checkpoint(self._store, kept[0])
             floor_id = kept[0]["snapshot_id"]
             for s in dropped:
                 sid = s["snapshot_id"]
-                for p in (self._commit_path(sid), self._checkpoint_path(sid)):
-                    try:
-                        os.remove(p)
-                    except FileNotFoundError:
-                        pass
+                self._store.delete(self._commit_name(sid))
+                self._store.delete(self._checkpoint_name(sid))
             # the floor's delta file is superseded by its checkpoint
-            try:
-                os.remove(self._commit_path(floor_id))
-            except FileNotFoundError:
-                pass
+            self._store.delete(self._commit_name(floor_id))
         if sweep_orphans:
+            import time as _time
+
+            now = _time.time()
             for fpath in glob.glob(os.path.join(self.path, "data", "c*", "**", "*.parquet"),
                                    recursive=True):
-                if os.path.relpath(fpath, self.path) not in live:
-                    try:
-                        os.remove(fpath)
-                        orphans += 1
-                    except FileNotFoundError:
-                        pass
+                if os.path.relpath(fpath, self.path) in live:
+                    continue
+                try:
+                    # age gate: a file younger than the grace window may be
+                    # an in-flight merge's uncommitted output — skip it
+                    if now - os.path.getmtime(fpath) < orphan_grace_sec:
+                        continue
+                    os.remove(fpath)
+                    orphans += 1
+                except FileNotFoundError:
+                    pass
             for d in glob.glob(os.path.join(self.path, "data", "c*", "_bucket=*")):
                 if not os.listdir(d):
                     os.rmdir(d)
@@ -845,6 +986,20 @@ class IceboxTable:
 
         paths = glob.glob(os.path.join(out_path, "_bucket=*", "*.parquet"))
         key = self.key
+        # per-column bounds for general data skipping (the Iceberg
+        # "column metrics" analog): every primitive payload column whose
+        # footer stats are JSON-safe gets [min, max] in the manifest, so a
+        # pushed range predicate on e.g. n_tok/source prunes whole files
+        # at PLAN time — before any scan task launches. Cost ≈ 0: the
+        # footers are already being parsed for tombstone/key/seq stats.
+        stat_cols = [
+            f.name
+            for f in self.schema.fields
+            if f.name != key
+            and not isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+            )
+        ]
 
         def entry(fpath: str) -> dict:
             md = pq.ParquetFile(fpath).metadata
@@ -862,6 +1017,13 @@ class IceboxTable:
             sr = self._col_min_max(md, SEQ_COL)
             if sr is not None:
                 e["seq_max"] = sr[1]
+            cs = {}
+            for c in stat_cols:
+                r = self._col_min_max(md, c)
+                if r is not None:
+                    cs[c] = [r[0], r[1]]
+            if cs:
+                e["col_stats"] = cs
             if kind:
                 e["kind"] = kind
             return e

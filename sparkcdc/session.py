@@ -17,6 +17,8 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str | None = None,
+    ui: bool = False,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
@@ -31,7 +33,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/CLI overhead); the bench enables it to
+        # read noise-insensitive counters from the /api/v1 status endpoint
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.driver.memory", driver_memory or "8g")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

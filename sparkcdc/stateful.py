@@ -157,3 +157,98 @@ def run_stateful_lww(
     )
     q.awaitTermination()
     return lww_dedup(spark.table(query_name), key="doc_id", seq="seq")
+
+
+def run_stateful_lww_to_table(
+    spark,
+    wal_path: str,
+    *,
+    table_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    max_files_per_trigger: int = 4,
+    max_batches: int | None = None,
+    state_ttl_ms: int | None = None,
+):
+    """The RECOVERABLE form: drain ``wal_path`` through the stateful LWW
+    operator and foreachBatch its update stream into an icebox table —
+    the full streaming pipeline the memory-sink variant documents as the
+    production path.
+
+    Exactly-once under restart comes from BOTH layers composing:
+      * the streaming checkpoint replays an interrupted epoch with the
+        SAME epoch id → the icebox batch_id fence skips the re-commit;
+      * each trigger emits only changed winners (update mode), and the
+        merge applies them in unordered mode (fence=False, tombstones) so
+        a re-emitted winner after state re-seed loses LWW instead of
+        corrupting state.
+    A mid-stream kill + restart from the same checkpoint therefore
+    converges to the identical table state as an uninterrupted run (and
+    as the batch engine over the same WAL) — pinned by
+    test_stateful_lww_into_icebox_sink_with_restart.
+
+    ``max_batches`` stops the query after N triggers WITHOUT draining
+    (simulates a mid-stream kill in tests). Returns the IceboxTable.
+    """
+    import pyspark.sql.types as T
+
+    from .icebox import IceboxTable
+
+    if IceboxTable.exists(table_path):
+        table = IceboxTable.load(spark, table_path)
+    else:
+        payload = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("tokens", T.ArrayType(T.IntegerType())),
+                T.StructField("n_tok", T.IntegerType()),
+                T.StructField("source", T.StringType()),
+            ]
+        )
+        table = IceboxTable.create(
+            spark, table_path, payload, key="doc_id", n_buckets=n_buckets
+        )
+    import hashlib
+    import os as _os
+
+    run_ns = hashlib.sha256(
+        _os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:10]
+    seen = {"n": 0}
+
+    def apply(batch_df, epoch_id: int) -> None:
+        table.merge(
+            batch_df,
+            f"state-{run_ns}-epoch-{epoch_id}",
+            seq_col="seq",
+            op_col="op",
+            fence=False,
+            tombstones=True,
+            mor=None,
+        )
+        seen["n"] += 1
+
+    static = spark.read.parquet(wal_path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(wal_path)
+    )
+    q = (
+        streaming_lww(stream, state_ttl_ms=state_ttl_ms)
+        .writeStream.foreachBatch(apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if max_batches is None:
+        q.awaitTermination()
+    else:
+        import time as _time
+
+        while q.isActive and seen["n"] < max_batches:
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+    return table
