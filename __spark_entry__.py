@@ -297,6 +297,30 @@ def q_cdc_replay_engine(spark, sf_dir):
     return eng.read_table().select("doc_id", "n_tok", "source")
 
 
+def q_cdc_filtered_read(spark, sf_dir):
+    """Round-4 manifest-level data skipping as a gate row: replay the
+    derived log into an icebox table, then read it back through
+    ``read(filters=...)`` (sparkcdc/icebox.py:_prune_by_filters) — files
+    whose per-column manifest bounds can't match are dropped at PLAN time
+    and the surviving rows are filtered post-LWW. The result must equal
+    the plain filtered final state (pruning is a pure optimization)."""
+    from sparkcdc.config import JobConfig
+    from sparkcdc.engine import CDCEngine
+
+    tbl = tempfile.mkdtemp(prefix="sparkcdc-filterread-")
+    cfg = JobConfig(
+        log_path=sf_dir,  # unused: log_df supplied
+        table_path=os.path.join(tbl, "tbl"),
+        batch_size=4000,
+        n_buckets=16,
+    )
+    eng = CDCEngine(spark, cfg, log_df=_derived_log(spark, sf_dir))
+    eng.run()
+    return eng.table.read(
+        filters=[("n_tok", "between", (10, 60)), ("source", "=", "click")]
+    ).select("doc_id", "n_tok", "source")
+
+
 def q_cdc_multiwriter_merge(spark, sf_dir):
     """Round-3 multi-writer safety as a gate row: two STALE table handles
     (both pinned at snapshot 0) merge DISJOINT bucket ranges of the same
@@ -676,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multiwriter_merge": q_cdc_multiwriter_merge,
         "cdc_stateful_lww": q_cdc_stateful_lww,
         "cdc_incremental_read": q_cdc_incremental_read,
+        "cdc_filtered_read": q_cdc_filtered_read,
         "cdc_changes_cdf": q_cdc_changes_cdf,
         "cdc_cdf_incremental_agg": q_cdc_cdf_incremental_agg,
         "cdc_rebucket": q_cdc_rebucket,
@@ -969,6 +994,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'delete', s1.doc_id, s1.seq, s1.n_tok, s1.source
             FROM s1 LEFT JOIN s2 USING (doc_id) WHERE s2.doc_id IS NULL
+        """,
+        # manifest-stat file pruning is a pure optimization: the filtered
+        # read equals the filtered final state
+        "cdc_filtered_read": _FINAL_STATE_SQL + """
+            SELECT doc_id, n_tok, source
+            FROM ranked
+            WHERE rn = 1 AND op <> 'delete'
+              AND n_tok BETWEEN 10 AND 60 AND source = 'click'
         """,
         # rebucket mid-replay is invisible to the final visible state
         "cdc_rebucket": _FINAL_STATE_SQL + """

@@ -133,10 +133,23 @@ def minhash_lsh_pairs(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     text_col: str = "text",
+    max_band: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs sharing at least one LSH band. The band key
     concatenates the band's minhashes — docs agreeing on a whole band are
-    likely near-duplicates (verify with ngram_jaccard_pairs)."""
+    likely near-duplicates (verify with ngram_jaccard_pairs).
+
+    ``max_band`` is the hot-band skew guard (same discipline as the
+    simhash/embedding caps, DEFAULT ON): band-key cardinality is
+    effectively unbounded (128-bit concat), so uniform corpora put ~1 doc
+    per band key and ONLY a mass-duplicate cluster (b near-identical docs
+    → one band key → O(b²) pair join) can blow up. ``None`` caps such
+    groups at 512 members via deterministic downsampling — no row-count
+    probe needed because the uniform expectation is ~1 regardless of
+    corpus size; exact dedup is the intended first pass for identical
+    mass anyway. ``0`` disables (oracle/exactness mode)."""
+    if max_band is None:
+        max_band = 512
     rows = k // bands
     sig = minhash_signatures(df, k=k, text_col=text_col)
     band_cols = [
@@ -148,6 +161,15 @@ def minhash_lsh_pairs(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band", "band_key"),
     )
+    if max_band > 0:
+        w = Window.partitionBy("band", "band_key").orderBy(
+            F.abs(F.xxhash64(F.col("doc_id"))), F.col("doc_id")
+        )
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_band)
+            .drop("_rn")
+        )
     x = banded.alias("x")
     y = banded.alias("y")
     return (
@@ -169,13 +191,15 @@ def lsh_verified_pairs(
     text_col: str = "text",
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    max_band: int | None = None,
 ) -> DataFrame:
     """The 100 TB near-dup path: LSH band candidates → exact Jaccard
     verification computed ONLY on candidate pairs. The shingle self-join of
     ngram_jaccard_pairs touches O(sum over shingles of df²) rows; here the
     intersection join is restricted to the candidate pair set, which LSH
-    banding bounds regardless of corpus-wide shingle frequencies."""
-    cand = minhash_lsh_pairs(df, k=k, bands=bands, text_col=text_col)
+    banding bounds regardless of corpus-wide shingle frequencies.
+    ``max_band`` passes through to the candidate stage's hot-band guard."""
+    cand = minhash_lsh_pairs(df, k=k, bands=bands, text_col=text_col, max_band=max_band)
     sh = shingles(df, text_col)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (

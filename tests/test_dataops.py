@@ -413,3 +413,23 @@ def test_default_cap_paths_launch_no_count_job(spark, monkeypatch):
         monkeypatch.setattr(DataFrame, "count", real_count)
     assert p1.count() >= 0 and p2.count() >= 0
     assert p3.count() >= 0 and p4.count() > 0
+
+
+def test_minhash_hot_band_cap_bounds_adversarial_mass(spark):
+    """The minhash band join now carries the same hot-band guard as the
+    simhash/embedding paths (default ON): 600 identical docs collapse to
+    one band key per band; the default cap bounds the candidate join at
+    O(cap^2) while plain pairs are untouched (inert below 512)."""
+    from sparkcdc.dedupe_docs import minhash_lsh_pairs
+
+    rows = [(f"d{i:04d}", "same text mass " * 10) for i in range(600)]
+    rows += [(f"u{i}", f"unique doc number {i} with words {i * 7} {i * 13}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id: string, text: string")
+    capped = minhash_lsh_pairs(df, max_band=100).count()
+    assert 0 < capped <= 100 * 99 // 2 + 50
+    # default cap (512) bites at 600 identical docs
+    n_default = minhash_lsh_pairs(df).count()
+    assert n_default <= 512 * 511 // 2 + 50
+    # inert at small scale: below the floor, default == uncapped
+    small = spark.createDataFrame(rows[:400] + rows[600:], "doc_id: string, text: string")
+    assert minhash_lsh_pairs(small).count() == minhash_lsh_pairs(small, max_band=0).count()
