@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="maintenance: run one compaction cycle and exit")
     p.add_argument("--compact-max-buckets", type=int, default=None,
                    help="bound one compaction cycle to the worst N buckets")
+    p.add_argument("--compact-cluster-by", default=None, metavar="COL",
+                   help="sort-order compaction: cluster files by COL "
+                        "(range-scan file skipping) instead of the key")
+    p.add_argument("--compact-max-file-rows", type=int, default=None,
+                   help="split compacted buckets into files of at most N "
+                        "rows (each covers a contiguous sort range)")
     args = p.parse_args(argv)
 
     spark = get_spark(app="sparkcdc-cli", master=args.master)
@@ -66,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.compact:
             print(json.dumps({
                 "kind": "compact",
-                **t.compact(max_buckets=args.compact_max_buckets),
+                **t.compact(max_buckets=args.compact_max_buckets,
+                            cluster_by=args.compact_cluster_by,
+                            max_file_rows=args.compact_max_file_rows),
             }))
         return 0
 

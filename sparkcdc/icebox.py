@@ -1039,6 +1039,8 @@ class IceboxTable:
         *,
         drop_tombstones: bool | None = None,
         max_buckets: int | None = None,
+        cluster_by: str | None = None,
+        max_file_rows: int | None = None,
         conflict_retries: int = 3,
     ) -> dict:
         """Rewrite every bucket that has >1 file (or tombstones) into one
@@ -1058,6 +1060,17 @@ class IceboxTable:
         update could resurrect a row whose tombstone was dropped, so such
         tables keep tombstones unless explicitly overridden.
 
+        ``cluster_by`` + ``max_file_rows`` are the Iceberg sort-order
+        analog: rows are sorted by ``cluster_by`` (default: the key)
+        within each bucket and split into files of at most
+        ``max_file_rows`` rows — each split file then covers a CONTIGUOUS
+        range of the sort column, so its manifest ``col_stats`` become
+        discriminating and a ``read(filters=...)`` range read on that
+        column skips the bucket's non-covering files at plan time. A
+        100 TB bucket holds many files; which column they're clustered by
+        decides whether point lookups (key) or range scans (e.g. a time
+        column) get file-level skipping — a per-table tuning choice.
+
         Safe to run CONCURRENTLY with merges: the commit is optimistic —
         if a merge touches one of the buckets being folded first, this
         compaction loses the race, reloads the new state and recomputes
@@ -1068,14 +1081,20 @@ class IceboxTable:
                 self.refresh()
             try:
                 return self._compact_once(
-                    drop_tombstones=drop_tombstones, max_buckets=max_buckets
+                    drop_tombstones=drop_tombstones, max_buckets=max_buckets,
+                    cluster_by=cluster_by, max_file_rows=max_file_rows,
                 )
             except CommitConflictError as exc:
                 last_err = exc
         raise last_err
 
     def _compact_once(
-        self, *, drop_tombstones: bool | None, max_buckets: int | None = None
+        self,
+        *,
+        drop_tombstones: bool | None,
+        max_buckets: int | None = None,
+        cluster_by: str | None = None,
+        max_file_rows: int | None = None,
     ) -> dict:
         snap = self._snap
         if drop_tombstones is None:
@@ -1083,13 +1102,18 @@ class IceboxTable:
         by_bucket: dict[int, list[dict]] = {}
         for e in snap["manifest"]:
             by_bucket.setdefault(e["bucket"], []).append(e)
-        todo = sorted(
-            b
-            for b, es in by_bucket.items()
-            if len(es) > 1
-            or any(e["schema_v"] != snap["schema_version"] for e in es)
-            or any(e.get("kind") == "delta" for e in es)
-        )
+        if cluster_by is not None or max_file_rows is not None:
+            # explicit re-cluster/re-split request: every bucket's layout
+            # is being changed, so all of them need the rewrite
+            todo = sorted(by_bucket)
+        else:
+            todo = sorted(
+                b
+                for b, es in by_bucket.items()
+                if len(es) > 1
+                or any(e["schema_v"] != snap["schema_version"] for e in es)
+                or any(e.get("kind") == "delta" for e in es)
+            )
         if drop_tombstones:
             # only buckets that can actually hold tombstone rows (per-entry
             # footer-stats flag; entries from legacy manifests without the
@@ -1132,16 +1156,21 @@ class IceboxTable:
         # committed data files; losers leave orphan dirs for sweep
         commit_dir = f"data/c{snap['snapshot_id'] + 1}-{uuid.uuid4().hex[:8]}"
         out_path = os.path.join(self.path, commit_dir)
-        (
-            # cluster by key within each bucket: compacted files get tight
-            # row-group key ranges, so point lookups (pushed key predicate +
-            # footer key_min/key_max pruning) skip whole row groups/files
+        # cluster within each bucket (default: by key, so point lookups get
+        # tight row-group/file key ranges; cluster_by switches the sort
+        # order to a stat column for range-scan file skipping instead)
+        sort_col = cluster_by if cluster_by is not None else self.key
+        writer = (
             df.repartition(self.n_buckets, F.col(self.key))
-            .sortWithinPartitions("_bucket", self.key)
+            .sortWithinPartitions("_bucket", sort_col)
             .write.partitionBy("_bucket")
             .mode("overwrite")
-            .parquet(out_path)
         )
+        if max_file_rows is not None:
+            # task output is written in sorted order, so each split file
+            # covers a contiguous sort-column range → discriminating stats
+            writer = writer.option("maxRecordsPerFile", max_file_rows)
+        writer.parquet(out_path)
         files_written, _ = self._register_files(out_path, snap["schema_version"])
         metrics = {
             "compacted_buckets": len(todo),

@@ -841,3 +841,34 @@ def test_read_filters_never_prune_mor_delta_buckets(spark, tmp_path):
     # the stale base row; correct answer: no rows match
     assert t.read(filters=[("n_tok", ">=", 100)]).count() == 0
     assert t.read(filters=[("n_tok", "<=", 10)]).collect()[0]["n_tok"] == 3
+
+
+def test_compact_cluster_by_enables_range_file_skipping(spark, tmp_path):
+    """Iceberg sort-order analog: compacting with cluster_by=<stat col> +
+    max_file_rows splits each bucket into files covering CONTIGUOUS
+    ranges of that column, so a filtered read prunes files WITHIN a
+    bucket — the file-level data-skipping regime a 100 TB multi-file
+    bucket actually lives in."""
+    import os
+    t = IceboxTable.create(spark, str(tmp_path / "tbl"), SCHEMA_V1, n_buckets=2)
+    schema = "doc_id: string, tokens: array<int>, n_tok: int, source: string, seq: long, op: string"
+    rows = [(f"d{i:04d}", [1], i, "s", i + 1, "upsert") for i in range(400)]
+    t.merge(spark.createDataFrame(rows, schema), "b1")
+    m = t.compact(cluster_by="n_tok", max_file_rows=50)
+    manifest = t.snapshot["manifest"]
+    by_bucket: dict[int, list[dict]] = {}
+    for e in manifest:
+        by_bucket.setdefault(e["bucket"], []).append(e)
+    # buckets split into multiple files with non-overlapping n_tok ranges
+    assert all(len(es) >= 3 for es in by_bucket.values())
+    for es in by_bucket.values():
+        spans = sorted(tuple(e["col_stats"]["n_tok"]) for e in es)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2  # contiguous, non-overlapping
+    # the range read scans only the covering files, not the bucket
+    out = t.read(filters=[("n_tok", "between", (100, 120))])
+    assert out.count() == 21
+    scanned = {os.path.relpath(f.replace("file:", ""), t.path) for f in out.inputFiles()}
+    assert len(scanned) < len(manifest) / 2
+    # state integrity across the clustered rewrite
+    assert t.read().count() == 400
