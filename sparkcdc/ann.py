@@ -252,7 +252,13 @@ def approx_row_count(df: DataFrame) -> int | None:
             if not name.startswith("LogicalRelation"):
                 return None
             break
-        files = df.inputFiles()
+        # list files from the relation's own FileIndex, NOT df.inputFiles():
+        # the latter goes through the cache manager, which substitutes an
+        # InMemoryRelation (empty file list) once the same path is cached
+        files = [
+            str(f)
+            for f in node.relation().location().inputFiles()
+        ]
         if not files or not all(f.endswith(".parquet") for f in files):
             return None
         import urllib.parse
