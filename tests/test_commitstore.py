@@ -222,3 +222,28 @@ def test_sweep_during_inflight_merge_deletes_nothing_it_commits(spark, tmp_path)
     ta.refresh()
     assert ta.read().count() > 0  # every committed file still readable
     ta.read().collect()  # would raise if the sweep had deleted a data file
+
+
+def test_registry_cas_under_real_thread_contention(spark, tmp_path):
+    """8 threads register 8 distinct consumers through ONE shared store
+    with no injected ordering: the versioned-chain CAS must serialize
+    them so ALL survive (the lost-update bug this design replaces would
+    drop some)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    mem = InMemoryCommitStore()
+    t = IceboxTable.create(spark, str(tmp_path / "tbl"), SCHEMA_V1, n_buckets=4, store=mem)
+    log = generate_changelog(spark, 500, 50, seed=51)
+    t.merge(log, "b1")
+
+    def reg(i: int) -> int:
+        # each thread gets its own handle (fresh _snap) sharing the store
+        h = IceboxTable.load(spark, t.path, store=mem)
+        return h.register_consumer(f"reader-{i}", 1)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(reg, range(8)))
+    regs = t.consumers()
+    assert regs == {f"reader-{i}": 1 for i in range(8)}
+    # chain was GC'd down to a bounded number of versions
+    assert len(mem.list_names("consumers-")) <= 8
