@@ -156,9 +156,12 @@ class IceboxTable:
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         if store is None:
             store = PosixCommitStore(os.path.join(path, "metadata"))
+        import time as _time
+
         snap = {
             "snapshot_id": 0,
             "parent": None,
+            "committed_at": _time.time(),
             "batch_id": None,
             "committed_batches": [],
             "key": key,
@@ -234,6 +237,7 @@ class IceboxTable:
             **snap,
             "snapshot_id": delta["snapshot_id"],
             "parent": delta["parent"],
+            "committed_at": delta.get("committed_at"),
             "batch_id": delta.get("batch_id"),
             "unordered_mode": snap.get("unordered_mode", False)
             or delta.get("unordered", False),
@@ -320,10 +324,20 @@ class IceboxTable:
         derivations of the log: a crash between the CAS and those writes
         leaves a fully-committed table (the next reader folds the commit
         file; the next commit at a checkpoint boundary re-derives it)."""
+        import time as _time
+
         parent = delta["parent"]
         for _ in range(MAX_REBASES):
             target = parent + 1
-            d = {**delta, "snapshot_id": target, "parent": parent}
+            d = {
+                **delta,
+                "snapshot_id": target,
+                "parent": parent,
+                # wall-clock commit time: drives history() and as-of-
+                # timestamp time travel; monotonicity is NOT assumed
+                # anywhere (as_of picks by id order, ts is advisory)
+                "committed_at": _time.time(),
+            }
             payload = json.dumps(d).encode()
             if not self._store.put_if_absent(self._commit_name(target), payload):
                 theirs = self._read_json(self._commit_name(target))
@@ -366,6 +380,48 @@ class IceboxTable:
     def schema(self) -> T.StructType:
         v = str(self._snap["schema_version"])
         return T.StructType.fromJson(json.loads(self._snap["schemas"][v]))
+
+    def history(self) -> DataFrame:
+        """Iceberg-style ``history`` metadata table: one row per retained
+        snapshot (id, parent, commit time, operation, batch id, file/row/
+        byte totals) — operator introspection without reading any data."""
+        rows = []
+        for s in self.snapshots():
+            summary = s.get("summary", {})
+            rows.append(
+                (
+                    s["snapshot_id"],
+                    s.get("parent"),
+                    float(s["committed_at"]) if s.get("committed_at") else None,
+                    summary.get("operation"),
+                    s.get("batch_id"),
+                    len(s["manifest"]),
+                    sum(e["rows"] for e in s["manifest"]),
+                    sum(e.get("bytes", 0) for e in s["manifest"]),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id: long, parent: long, committed_at: double, "
+            "operation: string, batch_id: string, n_files: long, "
+            "total_rows: long, total_bytes: long",
+        )
+
+    def snapshot_as_of(self, ts: float) -> int:
+        """Newest retained snapshot committed at or before wall-clock
+        ``ts`` (epoch seconds). Raises SnapshotExpiredError when ts
+        predates the retained history."""
+        best = None
+        for s in self.snapshots():
+            at = s.get("committed_at")
+            if at is not None and at <= ts:
+                best = s["snapshot_id"]
+        if best is None:
+            raise SnapshotExpiredError(
+                f"no retained snapshot at or before ts={ts}; "
+                f"available snapshots: {self._history_ids()}"
+            )
+        return best
 
     def snapshots(self) -> list[dict]:
         """Materialized history, oldest→newest, by folding the commit log
@@ -500,12 +556,15 @@ class IceboxTable:
         self,
         snapshot_id: int | None = None,
         *,
+        as_of: float | None = None,
         with_seq: bool = False,
         include_tombstones: bool = False,
         filters: list[tuple] | None = None,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame. Tables with
         delta files (merge-on-read commits) resolve LWW at read time.
+        Time travel by ``snapshot_id`` or by wall-clock ``as_of`` (epoch
+        seconds — newest snapshot committed at or before it).
 
         ``filters`` — simple conjunctive predicates
         ``[(col, op, value), ...]`` with op in {=, <, <=, >, >=, between}
@@ -517,6 +576,10 @@ class IceboxTable:
         table a selective range read launches tasks for O(matching
         files), not O(table) — row-group pushdown alone still opens
         every file's footer."""
+        if as_of is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or as_of, not both")
+            snapshot_id = self.snapshot_as_of(as_of)
         snap = self._snap
         if snapshot_id is not None:
             snap = self._snapshot_by_id(snapshot_id)

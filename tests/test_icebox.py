@@ -872,3 +872,37 @@ def test_compact_cluster_by_enables_range_file_skipping(spark, tmp_path):
     assert len(scanned) < len(manifest) / 2
     # state integrity across the clustered rewrite
     assert t.read().count() == 400
+
+
+def test_history_and_timestamp_time_travel(spark, table):
+    """Iceberg-parity introspection: history() lists every retained
+    snapshot with commit time + totals; read(as_of=ts) resolves to the
+    newest snapshot at or before ts."""
+    import time
+
+    from sparkcdc.icebox import SnapshotExpiredError
+
+    log = generate_changelog(spark, 2_000, 150, seed=95)
+    table.merge(scan_slice(log, 0, 1_000), "b1")
+    state1 = table.read().toPandas()
+    t_between = time.time()
+    time.sleep(0.05)
+    table.merge(scan_slice(log, 1_000, 2_000), "b2")
+
+    h = table.history().orderBy("snapshot_id").collect()
+    assert [r["snapshot_id"] for r in h] == [0, 1, 2]
+    assert [r["operation"] for r in h] == ["create", "merge", "merge"]
+    assert h[1]["batch_id"] == "b1" and h[2]["batch_id"] == "b2"
+    ats = [r["committed_at"] for r in h]
+    assert all(a is not None for a in ats) and ats == sorted(ats)
+    assert h[2]["total_rows"] >= h[1]["total_rows"] > 0
+
+    oracle.assert_table_equal(table.read(as_of=t_between).toPandas(), state1)
+    # as-of now == current state; pre-history ts raises typed error
+    oracle.assert_table_equal(
+        table.read(as_of=time.time()).toPandas(), table.read().toPandas()
+    )
+    with pytest.raises(SnapshotExpiredError):
+        table.read(as_of=1.0)
+    with pytest.raises(ValueError):
+        table.read(1, as_of=t_between)
