@@ -122,3 +122,29 @@ def test_lsh_paths_never_cartesian(spark):
         plan = _plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filtered_read_pushes_predicate_to_scan(spark, tmp_path):
+    """read(filters=...) on an all-base table must both (a) prune the
+    manifest at plan time and (b) land the row predicate in the parquet
+    FileScan itself (no aggregation between the filter and the scan for
+    delta-free buckets) — the two layers of the data-skipping story."""
+    import pyspark.sql.types as T
+
+    from sparkcdc.icebox import IceboxTable
+
+    sch = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ])
+    t = IceboxTable.create(spark, str(tmp_path / "tbl"), sch, n_buckets=2)
+    rows = [(f"d{i}", [1], i, "s", i + 1, "upsert") for i in range(200)]
+    t.merge(spark.createDataFrame(
+        rows,
+        "doc_id: string, tokens: array<int>, n_tok: int, source: string, seq: long, op: string",
+    ), "b1")
+    plan = _plan(t.read(filters=[("n_tok", ">=", 100)]))
+    assert "GreaterThanOrEqual(n_tok,100)" in plan, plan  # pushed to scan
+    assert "Scan parquet" in plan, plan
