@@ -574,6 +574,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the exact-Jaccard
+    pair graph (sparkcdc/dedupe_docs.py:near_dup_clusters — iterative
+    min-label propagation, one join+partial-agg per round, converges in
+    O(component diameter)). Turns pairwise near-dup output into the dedup
+    decision: doc_id == cluster_id marks the survivor. Oracle: DuckDB
+    recursive-CTE transitive closure over the same pair SQL."""
+    from sparkcdc.dedupe_docs import near_dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return near_dup_clusters(pairs)
+
+
 def q_dedup_ngram_jaccard_capped(spark, sf_dir):
     """Jaccard with the shingle document-frequency cap engaged — the skew
     guard for corpora where stock phrases explode the shingle self-join."""
@@ -716,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1088,6 +1102,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = doc1
             JOIN cnt cb ON cb.doc_id = doc2
             WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.6
+        """,
+        # connected components as a recursive-CTE transitive closure over
+        # the symmetric edge set: min reachable id (incl. self) = the
+        # component minimum, which is exactly the Spark side's converged
+        # min-label. UNION (not UNION ALL) dedups, so the recursion
+        # terminates on the finite node set despite cycles.
+        "dedup_clusters": shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc1, doc2
+                FROM inter
+                JOIN cnt ca ON ca.doc_id = doc1
+                JOIN cnt cb ON cb.doc_id = doc2
+                WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT doc1 AS a, doc2 AS b FROM pairs
+                UNION
+                SELECT doc2, doc1 FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+            FROM reach GROUP BY a
         """,
         "dedup_ngram_jaccard_capped": shingle_cte + """,
             freq AS (SELECT shingle, lang, COUNT(*) AS df FROM sh GROUP BY 1, 2),

@@ -310,3 +310,72 @@ def simhash_near_pairs(
     )
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return cand.select("doc1", "doc2", ham.alias("hamming")).where(ham <= max_hamming)
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    *,
+    id1: str = "doc1",
+    id2: str = "doc2",
+    max_iter: int = 20,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step that
+    turns pairwise near-dup OUTPUT (minhash/simhash/cosine pairs) into a
+    dedup DECISION: ``(doc_id, cluster_id)`` where ``cluster_id`` is the
+    minimum doc id of the component, so ``doc_id == cluster_id`` marks
+    the survivor and everything else is droppable.
+
+    Spark-first iterative min-label propagation: every node starts
+    labeled with itself; each round takes the min of its own and its
+    neighbors' labels (one equi-join + partial-aggregated groupBy per
+    round — map-side combine absorbs high-degree nodes); convergence in
+    O(component diameter) rounds, checked with a changed-count action
+    per round and capped at ``max_iter``. Near-dup components are
+    shallow (dup clusters are dense), so the cap is a backstop, not a
+    truncation — a hit raises rather than returning a wrong clustering.
+
+    ``checkpoint`` truncates plan lineage per round (localCheckpoint) —
+    without it the iterated join tree compounds and round k replans the
+    previous k-1 rounds. On a real cluster prefer a reliable checkpoint
+    dir (``spark.sparkContext.setCheckpointDir``); localCheckpoint is the
+    single-process form. Only nodes appearing in at least one pair are
+    returned (singletons are trivially their own cluster).
+    """
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    labels = (
+        edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
+    )
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        )
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"near_dup_clusters did not converge within max_iter={max_iter} "
+        "rounds (component diameter exceeds the cap) — raise max_iter"
+    )

@@ -433,3 +433,38 @@ def test_minhash_hot_band_cap_bounds_adversarial_mass(spark):
     # inert at small scale: below the floor, default == uncapped
     small = spark.createDataFrame(rows[:400] + rows[600:], "doc_id: string, text: string")
     assert minhash_lsh_pairs(small).count() == minhash_lsh_pairs(small, max_band=0).count()
+
+
+def test_near_dup_clusters_connected_components(spark):
+    """Clustering turns pair output into dedup decisions: min-id label per
+    component, chains resolved transitively, convergence detected; the
+    max_iter backstop raises instead of returning a wrong clustering."""
+    from sparkcdc.dedupe_docs import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        # component 1 is a 6-chain (diameter stresses propagation);
+        # component 2 a triangle; component 3 a single pair
+        [("c2", "c3"), ("c1", "c2"), ("c3", "c4"), ("c4", "c5"), ("c5", "c6"),
+         ("t1", "t2"), ("t2", "t3"), ("t1", "t3"),
+         ("p1", "p2")],
+        "doc1: string, doc2: string",
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in near_dup_clusters(pairs).collect()}
+    assert got == (
+        {(f"c{i}", "c1") for i in range(1, 7)}
+        | {(f"t{i}", "t1") for i in range(1, 4)}
+        | {("p1", "p1"), ("p2", "p1")}
+    )
+    # survivors = doc_id == cluster_id, exactly one per component
+    survivors = [d for d, c in got if d == c]
+    assert sorted(survivors) == ["c1", "p1", "t1"]
+    # diameter > max_iter must raise, not silently truncate
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)], "doc1: string, doc2: string"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(chain, max_iter=2)
+    full = near_dup_clusters(chain, max_iter=20).collect()
+    assert all(r["cluster_id"] == "n00" for r in full) and len(full) == 13
