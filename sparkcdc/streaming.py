@@ -86,3 +86,60 @@ def run_streaming(
         q.awaitTermination()
         return engine.metrics.totals()
     return writer.start(), engine
+
+
+def windowed_stream_counts(
+    spark: SparkSession,
+    wal_path: str,
+    *,
+    checkpoint_dir: str,
+    query_name: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    max_files_per_trigger: int = 1,
+):
+    """Watermarked event-time windowed aggregation over the change stream
+    (SURVEY §2.8 T5/T8 as a TRUE Structured Streaming operator, not the
+    batch date_trunc form): tumbling ``window`` counts per op, with
+    ``watermark`` bounding how late an event may arrive — state for
+    windows older than (max event time - watermark) is finalized and
+    dropped, so state size is O(open windows), not O(stream history).
+    Append output mode = each window emits EXACTLY ONCE, when the
+    watermark passes its end; an event arriving after its window's state
+    was evicted is discarded (``numRowsDroppedByWatermark``). Timing
+    caveat pinned by the test: eviction happens at trigger END, so a
+    straggler landing in the SAME trigger where its window finalizes is
+    still counted — drops begin one trigger later. The engine's merge
+    path instead absorbs arbitrarily-late events via the LSN fence +
+    LWW — the two late-data contracts, side by side. Windows still open
+    when the stream drains are NOT emitted (append semantics). Drains
+    ``wal_path`` with availableNow (one file per trigger so event time
+    progresses across triggers) and returns the finalized windows."""
+    static = spark.read.parquet(wal_path)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(wal_path)
+    )
+    from pyspark.sql import functions as F
+
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "op")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name).select(
+        F.col("win.start").alias("window_start"),
+        "op",
+        F.col("count").alias("n"),
+    )

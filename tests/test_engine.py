@@ -1003,3 +1003,49 @@ def test_stateful_lww_into_icebox_sink_with_restart(spark, tmp_path):
         max_files_per_trigger=3,
     )
     oracle.assert_table_equal(t.read().toPandas(), expected)
+
+
+def test_windowed_stream_watermark_drops_late_events(spark, tmp_path):
+    """True streaming watermark semantics (T5): an event arriving later
+    than the watermark bound is dropped by the windowed aggregation —
+    unlike the merge path, whose LSN fence + LWW absorb arbitrary
+    lateness. Files drain one per trigger so the watermark advances
+    between the punctual and late batches."""
+    import time as _time
+
+    from sparkcdc.streaming import windowed_stream_counts
+
+    wal = str(tmp_path / "wwal")
+    schema = "seq: long, op: string, doc_id: string, ts: timestamp"
+
+    def write(ts_list, start_seq):
+        spark.createDataFrame(
+            [
+                (start_seq + i, "upsert", f"d{start_seq + i}", ts)
+                for i, ts in enumerate(ts_list)
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(wal)
+        _time.sleep(1.2)  # later mtime → later trigger (1 file/trigger)
+
+    import datetime as dt
+
+    h = lambda hh, mm=0: dt.datetime(2024, 1, 1, hh, mm)  # noqa: E731
+    # trigger 1: 3 events in hour 10, max event ts 11:50
+    #   → watermark for trigger 2 = 11:20, past hour-10's end
+    write([h(10, 5), h(10, 20), h(10, 40), h(11, 10), h(11, 50)], 0)
+    # trigger 2: punctual event; hour-10 window finalizes (emits) at its end
+    write([h(11, 55)], 100)
+    # trigger 3: straggler for hour 10 — state evicted → DROPPED
+    write([h(10, 55)], 200)
+
+    out = windowed_stream_counts(
+        spark, wal,
+        checkpoint_dir=str(tmp_path / "wckpt"),
+        query_name="win_counts_t1",
+        window="1 hour", watermark="30 minutes",
+    ).collect()
+    by_hour = {r["window_start"].hour: r["n"] for r in out}
+    # hour 10 emitted exactly once, WITHOUT the dropped straggler; hour 11
+    # is still open when the stream drains → not emitted (append contract)
+    assert by_hour == {10: 3}
