@@ -137,6 +137,30 @@ class PosixCommitStore(CommitStore):
         except FileNotFoundError:
             pass
 
+    def sweep_debris(self, grace_sec: float = 600.0) -> int:
+        """Remove `.tmp-` staging files older than ``grace_sec`` — debris
+        from writers that crashed between staging and publish (the link/
+        replace never ran, so nothing references them). Age-gated for the
+        same reason as the data-file orphan sweep: a LIVE writer's staged
+        temp is younger than the grace window. Called from
+        ``expire_snapshots``; object-store impls have no staging files
+        (a conditional PUT is single-shot) and need no equivalent."""
+        import time
+
+        now = time.time()
+        swept = 0
+        for n in os.listdir(self.root):
+            if not n.startswith(".tmp-"):
+                continue
+            p = os.path.join(self.root, n)
+            try:
+                if now - os.path.getmtime(p) >= grace_sec:
+                    os.remove(p)
+                    swept += 1
+            except FileNotFoundError:
+                pass
+        return swept
+
 
 class InMemoryCommitStore(CommitStore):
     """Dict-backed store with the same atomicity contract (a lock stands in

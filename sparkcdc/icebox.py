@@ -603,6 +603,20 @@ class IceboxTable:
             )
         return self._materialize(snapshot_id)
 
+    def read_changes_between(
+        self, from_ts: float, to_ts: float | None = None, *, mode: str = "net"
+    ) -> DataFrame:
+        """Timestamp form of ``read_changes``: changes between the table
+        states as of two wall-clock instants (epoch seconds; ``to_ts``
+        None = current). Resolution is by commit time via
+        ``snapshot_as_of`` — the incremental-consumer analog of
+        ``read(as_of=...)``."""
+        return self.read_changes(
+            self.snapshot_as_of(from_ts),
+            None if to_ts is None else self.snapshot_as_of(to_ts),
+            mode=mode,
+        )
+
     def read_changes(
         self,
         from_snapshot_id: int,
@@ -954,6 +968,10 @@ class IceboxTable:
         if sweep_orphans:
             import time as _time
 
+            # metadata-plane staging debris (crashed writers' .tmp- files)
+            # is swept with the same age gate, where the store has any
+            if hasattr(self._store, "sweep_debris"):
+                orphans += self._store.sweep_debris(orphan_grace_sec)
             now = _time.time()
             for fpath in glob.glob(os.path.join(self.path, "data", "c*", "**", "*.parquet"),
                                    recursive=True):

@@ -906,3 +906,31 @@ def test_history_and_timestamp_time_travel(spark, table):
         table.read(as_of=1.0)
     with pytest.raises(ValueError):
         table.read(1, as_of=t_between)
+
+
+def test_read_changes_between_timestamps_and_tmp_debris_sweep(spark, table):
+    """read_changes_between resolves snapshots by commit time; and the
+    orphan sweep also clears crashed writers' metadata staging debris
+    (.tmp- files), age-gated like data-file orphans."""
+    import os
+    import time
+
+    log = generate_changelog(spark, 2_000, 150, seed=97)
+    table.merge(scan_slice(log, 0, 1_000), "b1")
+    t_between = time.time()
+    time.sleep(0.05)
+    table.merge(scan_slice(log, 1_000, 2_000), "b2")
+
+    by_ts = table.read_changes_between(t_between).orderBy("doc_id", "_seq")
+    by_id = table.read_changes(1).orderBy("doc_id", "_seq")
+    assert [tuple(r) for r in by_ts.collect()] == [tuple(r) for r in by_id.collect()]
+
+    # staged-then-crashed metadata temp: fresh → kept, aged → swept
+    debris = os.path.join(table.path, "metadata", ".tmp-deadbeef")
+    with open(debris, "w") as fh:
+        fh.write("{}")
+    table.expire_snapshots(sweep_orphans=True)
+    assert os.path.exists(debris)
+    os.utime(debris, (1, 1))
+    res = table.expire_snapshots(sweep_orphans=True)
+    assert not os.path.exists(debris) and res["orphan_files_swept"] >= 1
