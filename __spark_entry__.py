@@ -587,6 +587,23 @@ def q_dedup_clusters(spark, sf_dir):
     return near_dup_clusters(pairs)
 
 
+def q_dedup_keep_list(spark, sf_dir):
+    """The end-to-end dedup DECISION a training-data pipeline actually
+    ships: corpus minus near-dup losers. Survivor of each near-dup
+    component = its min doc_id (identical docs have Jaccard 1, so exact
+    dups fold into the same components); docs in no pair keep
+    themselves. Composes ngram_jaccard_pairs → near_dup_clusters →
+    anti-join, all previously oracle-verified pieces."""
+    from sparkcdc.dedupe_docs import near_dup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(
+        ngram_jaccard_pairs(docs, threshold=0.5)
+    )
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
 def q_dedup_ngram_jaccard_capped(spark, sf_dir):
     """Jaccard with the shingle document-frequency cap engaged — the skew
     guard for corpora where stock phrases explode the shingle self-join."""
@@ -730,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
         "dedup_lsh_verified": q_dedup_lsh_verified,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1135,6 +1153,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
             FROM reach GROUP BY a
+        """,
+        # keep-list = documents minus near-dup losers (closure min != self)
+        "dedup_keep_list": shingle_cte.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc1, doc2
+                FROM inter
+                JOIN cnt ca ON ca.doc_id = doc1
+                JOIN cnt cb ON cb.doc_id = doc2
+                WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT doc1 AS a, doc2 AS b FROM pairs
+                UNION
+                SELECT doc2, doc1 FROM pairs
+            ),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            losers AS (
+                SELECT a AS doc_id FROM reach GROUP BY a
+                HAVING LEAST(a, MIN(b)) <> a
+            )
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "dedup_ngram_jaccard_capped": shingle_cte + """,
             freq AS (SELECT shingle, lang, COUNT(*) AS df FROM sh GROUP BY 1, 2),
