@@ -116,6 +116,17 @@ def windowed_stream_counts(
     when the stream drains are NOT emitted (append semantics). Drains
     ``wal_path`` with availableNow (one file per trigger so event time
     progresses across triggers) and returns the finalized windows."""
+    import os
+
+    if os.path.exists(os.path.join(checkpoint_dir, "offsets")):
+        # same contract as stateful.run_stateful_lww: the memory sink
+        # cannot recover from a checkpoint — a reused dir would surface
+        # only windows finalized since the last drain
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r} already has progress: use a "
+            "fresh checkpoint_dir, or wire the aggregation into a "
+            "recoverable sink for a resumable pipeline"
+        )
     static = spark.read.parquet(wal_path)
     stream = (
         spark.readStream.schema(static.schema)

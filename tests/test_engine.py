@@ -1049,3 +1049,10 @@ def test_windowed_stream_watermark_drops_late_events(spark, tmp_path):
     # hour 10 emitted exactly once, WITHOUT the dropped straggler; hour 11
     # is still open when the stream drains → not emitted (append contract)
     assert by_hour == {10: 3}
+    # memory sink can't recover: reusing the checkpoint must raise early
+    with pytest.raises(ValueError, match="already has progress"):
+        windowed_stream_counts(
+            spark, wal,
+            checkpoint_dir=str(tmp_path / "wckpt"),
+            query_name="win_counts_t2",
+        )
