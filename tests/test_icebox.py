@@ -934,3 +934,40 @@ def test_read_changes_between_timestamps_and_tmp_debris_sweep(spark, table):
     os.utime(debris, (1, 1))
     res = table.expire_snapshots(sweep_orphans=True)
     assert not os.path.exists(debris) and res["orphan_files_swept"] >= 1
+
+
+def test_filtered_read_equals_plain_filter_on_all_table_shapes(spark, tmp_path):
+    """Invariant: read(filters=...) is a pure OPTIMIZATION — for every
+    op and every table shape (COW single-commit, COW multi-commit, MOR
+    deltas with reordered winners, post-compaction with file splits) it
+    returns exactly read() filtered by the same predicate."""
+    t = IceboxTable.create(spark, str(tmp_path / "tbl"), SCHEMA_V1, n_buckets=4)
+    schema = "doc_id: string, tokens: array<int>, n_tok: int, source: string, seq: long, op: string"
+    t.merge(spark.createDataFrame(
+        [(f"d{i:03d}", [1], i, "s" if i % 3 else "t", i + 1, "upsert") for i in range(150)],
+        schema), "b1")
+    # MOR deltas that MOVE winners across the filter boundary
+    t.merge(spark.createDataFrame(
+        [(f"d{i:03d}", [2], 200 - i, "s", 1000 + i, "upsert") for i in range(0, 150, 7)],
+        schema), "b2", mor=True)
+
+    cases = [
+        [("n_tok", ">=", 100)],
+        [("n_tok", "<", 40)],
+        [("n_tok", "between", (30, 90))],
+        [("source", "=", "t")],
+        [("n_tok", ">", 50), ("source", "=", "s")],
+        [("n_tok", "<=", 0)],
+    ]
+
+    def check():
+        for fs in cases:
+            expect = sorted(
+                tuple(r) for r in t.read().where(t._filters_expr(fs)).collect()
+            )
+            got = sorted(tuple(r) for r in t.read(filters=fs).collect())
+            assert got == expect, fs
+
+    check()
+    t.compact(cluster_by="n_tok", max_file_rows=20)  # splits + re-sort
+    check()
