@@ -247,3 +247,24 @@ def test_registry_cas_under_real_thread_contention(spark, tmp_path):
     assert regs == {f"reader-{i}": 1 for i in range(8)}
     # chain was GC'd down to a bounded number of versions
     assert len(mem.list_names("consumers-")) <= 8
+
+
+@pytest.mark.parametrize("make", [lambda p: PosixCommitStore(str(p)), lambda p: InMemoryCommitStore()])
+def test_put_if_absent_exactly_once_under_threads(tmp_path, make):
+    """The contract the whole protocol rests on, under REAL contention:
+    of 16 threads racing the same name, exactly one wins, and the bytes
+    visible afterwards are the winner's (no torn/interleaved state)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    s = make(tmp_path / "race")
+    for rnd in range(5):
+        name = f"commit-{rnd}.json"
+
+        def attempt(i: int) -> tuple[int, bool]:
+            return i, s.put_if_absent(name, f"writer-{i}".encode())
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            results = list(ex.map(attempt, range(16)))
+        winners = [i for i, won in results if won]
+        assert len(winners) == 1
+        assert s.get(name) == f"writer-{winners[0]}".encode()
