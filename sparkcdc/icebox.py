@@ -78,6 +78,16 @@ CHECKPOINT_EVERY = 20
 # iteration re-parents past ONE intervening disjoint commit).
 MAX_REBASES = 32
 
+# Consumer-registry GC lag: superseded consumers-<v>.json versions are
+# only deleted once they are this many versions behind the newest. Keeping
+# a few stale versions around (a) narrows the window in which a reader's
+# list→get races a delete and (b) means a briefly-stalled mutator finds
+# its target name still occupied (ordinary CAS loss) instead of
+# re-winning a freed name. The *correctness* guard against the latter ABA
+# is the post-publish max-check in _mutate_consumers; the lag just keeps
+# that path rare.
+CONSUMER_GC_LAG = 4
+
 
 class CommitConflictError(RuntimeError):
     """Optimistic commit lost the race to a conflicting writer (overlapping
@@ -327,6 +337,21 @@ class IceboxTable:
         import time as _time
 
         parent = delta["parent"]
+        # Stale-handle guard: after expire_snapshots, commit names at or
+        # below the retained checkpoint floor are FREED — a writer whose
+        # parent predates the floor could otherwise re-win put_if_absent
+        # on one and corrupt the fold order. Reject it up front (the
+        # caller refreshes and recomputes). Checked once: the floor only
+        # advances, and a concurrent advance past our target means the
+        # expirer checkpointed a NEWER id, so our CAS on target fails
+        # normally against that retained history.
+        ckpts = self._log_ids("checkpoint")
+        if ckpts and parent + 1 <= ckpts[0]:
+            raise CommitConflictError(
+                f"stale table handle: commit target {parent + 1} is at or "
+                f"below the retained history floor {ckpts[0]} (expired) — "
+                f"refresh() and recompute"
+            )
         for _ in range(MAX_REBASES):
             target = parent + 1
             d = {
@@ -351,7 +376,16 @@ class IceboxTable:
                     )
                 parent = target
                 continue
-            self._snap = self._materialize(target)
+            try:
+                self._snap = self._materialize(target)
+            except Exception:
+                # The CAS landed but the commit cannot be folded (e.g. a
+                # racing expiration deleted our parent chain). The write
+                # is NOT acknowledged — retract the published file so it
+                # doesn't persist as an orphan id that would poison
+                # snapshots()/history() for every other reader.
+                self._store.delete(self._commit_name(target))
+                raise
             if target % CHECKPOINT_EVERY == 0:
                 self._write_checkpoint(self._store, self._snap)
             self._write_version(self._store, target)
@@ -410,11 +444,17 @@ class IceboxTable:
     def snapshot_as_of(self, ts: float) -> int:
         """Newest retained snapshot committed at or before wall-clock
         ``ts`` (epoch seconds). Raises SnapshotExpiredError when ts
-        predates the retained history."""
+        predates the retained history.
+
+        Upgrade behavior: snapshots written before commit timestamps were
+        recorded (no ``committed_at``) are treated as arbitrarily old —
+        always eligible — so ``read(as_of=...)`` on an upgraded table
+        resolves to the newest legacy snapshot rather than raising for
+        timestamps at which retained history plainly existed."""
         best = None
         for s in self.snapshots():
             at = s.get("committed_at")
-            if at is not None and at <= ts:
+            if at is None or at <= ts:
                 best = s["snapshot_id"]
         if best is None:
             raise SnapshotExpiredError(
@@ -425,13 +465,21 @@ class IceboxTable:
 
     def snapshots(self) -> list[dict]:
         """Materialized history, oldest→newest, by folding the commit log
-        incrementally from the earliest retained checkpoint (one pass)."""
+        incrementally from the earliest retained checkpoint (one pass).
+
+        Commit ids BELOW the earliest checkpoint are skipped: they cannot
+        be folded (no base state) and can only be debris — e.g. a stale
+        writer's retracted-then-crashed commit on a name freed by
+        expiration. Skipping keeps history()/as-of/expire readable for
+        everyone instead of crashing on the orphan."""
         out: list[dict] = []
         snap: dict | None = None
         ckpts = set(self._log_ids("checkpoint"))
         for sid in self._history_ids():
             if sid in ckpts:
                 snap = self._read_json(self._checkpoint_name(sid))
+            elif snap is None:
+                continue  # orphan commit id below the checkpoint floor
             else:
                 snap = self._apply_delta(snap, self._read_json(self._commit_name(sid)))
             out.append(snap)
@@ -854,7 +902,17 @@ class IceboxTable:
 
     def _mutate_consumers(self, mutate) -> dict[str, int]:
         """CAS loop: publish mutate(current) as the next registry version.
-        Concurrent mutations serialize — none is ever lost."""
+        Concurrent mutations serialize — none is ever lost.
+
+        ABA guard: GC of superseded ``consumers-<v>.json`` files re-opens
+        those names, so a stalled mutator can win ``put_if_absent`` on a
+        version BELOW the current newest — readers (which take the max
+        version) would never see its mutation. After every winning publish
+        we therefore re-list and require the published version to still be
+        the maximum; a publish that is not the max is retracted (deleted)
+        and the mutation retried against the real newest. The max version
+        is monotonic (GC only ever deletes below it), so a verified-max
+        publish can never be shadowed later."""
         for _ in range(MAX_REBASES):
             vs = self._consumer_versions()
             if vs:
@@ -872,8 +930,15 @@ class IceboxTable:
             if self._store.put_if_absent(
                 f"consumers-{nxt}.json", json.dumps(new).encode()
             ):
-                for v in vs:  # GC superseded versions (idempotent deletes)
-                    self._store.delete(f"consumers-{v}.json")
+                newest = self._consumer_versions()[-1]
+                if newest != nxt:
+                    # won a freed (GC'd) name below the live head: invisible
+                    # to readers — retract and retry on the real newest
+                    self._store.delete(f"consumers-{nxt}.json")
+                    continue
+                for v in vs:  # deferred GC (idempotent deletes)
+                    if v <= nxt - CONSUMER_GC_LAG:
+                        self._store.delete(f"consumers-{v}.json")
                 return new
         raise CommitConflictError(
             f"consumer-registry CAS kept losing after {MAX_REBASES} attempts"
@@ -907,7 +972,7 @@ class IceboxTable:
         *,
         keep_last: int = 5,
         sweep_orphans: bool = False,
-        orphan_grace_sec: float = 600.0,
+        orphan_grace_sec: float = 259_200.0,
     ) -> dict:
         """Iceberg-style snapshot expiration: drop all but the newest
         ``keep_last`` snapshots and delete data files referenced ONLY by
@@ -924,13 +989,17 @@ class IceboxTable:
 
         ``sweep_orphans=True`` additionally removes data files referenced
         by NO kept snapshot at all — debris from merges that wrote files
-        but crashed before committing (or lost a commit conflict). Safe to
-        run while merges are in flight: only unreferenced files OLDER than
-        ``orphan_grace_sec`` (mtime) are eligible, so a concurrent merge's
-        freshly-written, not-yet-committed files can never be deleted out
-        from under it — an in-flight commit either lands within the grace
-        window or is itself long-dead debris. Set ``orphan_grace_sec=0``
-        only inside an exclusive maintenance window."""
+        but crashed before committing (or lost a commit conflict). Only
+        unreferenced files OLDER than ``orphan_grace_sec`` (mtime) are
+        eligible. PRECONDITION for running this concurrently with writers:
+        the grace window must exceed the worst-case write→commit latency
+        of any in-flight merge/compaction INCLUDING conflict retries (a
+        retried merge rewrites files, restarting their mtime clock, but a
+        long-stalled attempt's first files keep aging). The default is 3
+        days (Iceberg's orphan-file default) — hours-long commit latency
+        at 100 TB stays far inside it. Shorten it only when you can bound
+        commit latency, and set ``orphan_grace_sec=0`` only inside an
+        exclusive maintenance window."""
         snaps = self.snapshots()
         orphans = 0
         clamped = False

@@ -268,3 +268,45 @@ def test_put_if_absent_exactly_once_under_threads(tmp_path, make):
         winners = [i for i, won in results if won]
         assert len(winners) == 1
         assert s.get(name) == f"writer-{winners[0]}".encode()
+
+
+def test_registry_aba_stalled_mutator_not_lost(spark, tmp_path):
+    """ADVICE r4 (icebox.py:875): GC frees superseded consumers-<v> names,
+    so a STALLED mutator can win put_if_absent on a version below the live
+    head — invisible to readers, its registration silently lost. The
+    post-publish max-check must detect the shadowed publish, retract it,
+    and retry on the real newest so the mutation still lands."""
+    mem = InMemoryCommitStore()
+    t = IceboxTable.create(
+        spark, str(tmp_path / "tbl"), SCHEMA_V1, n_buckets=4, store=mem
+    )
+    log = generate_changelog(spark, 500, 50, seed=61)
+    t.merge(log, "b1")
+    t.register_consumer("reader-0", 1)  # registry now at consumers-1
+
+    tb = IceboxTable.load(spark, t.path, store=mem)
+
+    def stall_and_advance(name):
+        # Fires on the stalled mutator's put of consumers-2: before its
+        # CAS executes, six other registrations land (versions 2..7) and
+        # GC with lag frees consumers-2 — re-opening the exact name the
+        # stalled mutator is about to win.
+        if name == "consumers-2.json":
+            mem.before_put_if_absent = None
+            for i in range(1, 7):
+                tb.register_consumer(f"reader-{i}", 1)
+            assert "consumers-2.json" not in mem.list_names("consumers-")
+
+    mem.before_put_if_absent = stall_and_advance
+    t.register_consumer("stalled", 1)  # ABA window: wins freed consumers-2
+    regs = t.consumers()
+    # every registration survives, the stalled one included
+    assert regs == {**{f"reader-{i}": 1 for i in range(7)}, "stalled": 1}
+    # and no shadow version below the head carries divergent state
+    versions = sorted(
+        int(n.rsplit("-", 1)[1].split(".")[0]) for n in mem.list_names("consumers-")
+    )
+    import json as _json
+
+    head = _json.loads(mem.get(f"consumers-{versions[-1]}.json"))
+    assert head == regs

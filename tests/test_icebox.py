@@ -971,3 +971,94 @@ def test_filtered_read_equals_plain_filter_on_all_table_shapes(spark, tmp_path):
     check()
     t.compact(cluster_by="n_tok", max_file_rows=20)  # splits + re-sort
     check()
+
+
+def test_as_of_on_upgraded_table_without_commit_timestamps(spark, table):
+    """ADVICE r4 (icebox.py:410): commits written before committed_at was
+    recorded must stay time-travelable — read(as_of=now) on an upgraded
+    table resolves to the newest legacy snapshot instead of raising."""
+    import json as _json
+    import time
+
+    log = generate_changelog(spark, 1_000, 100, seed=83)
+    table.merge(scan_slice(log, 0, 500), "b1")
+    table.merge(scan_slice(log, 500, 1_000), "b2")
+    state = table.read().toPandas()
+    # simulate a pre-upgrade table: strip committed_at from every commit
+    for name in table._store.list_names("commit-") + table._store.list_names(
+        "checkpoint-"
+    ):
+        d = _json.loads(table._store.get(name))
+        d.pop("committed_at", None)
+        table._store.put(name, _json.dumps(d).encode())
+    t2 = IceboxTable.load(spark, table.path)
+    sid = t2.snapshot_as_of(time.time())
+    assert sid == t2.snapshot["snapshot_id"]
+    oracle.assert_table_equal(t2.read(as_of=time.time()).toPandas(), state)
+    # history() still renders (committed_at null for legacy rows)
+    assert t2.history().count() == len(t2.snapshots())
+
+
+def test_stale_handle_commit_after_expiration_is_safe(spark, tmp_path):
+    """ADVICE r4 (icebox.py:436): after expire_snapshots frees commit
+    names below the checkpoint floor, a writer holding a STALE handle
+    must not re-win put_if_absent on a freed name (which would orphan a
+    commit file and poison snapshots() for every reader). The guard
+    raises CommitConflictError; merge's retry loop refreshes and lands
+    the batch correctly."""
+    from sparkcdc.commitstore import InMemoryCommitStore
+    from sparkcdc.icebox import CommitConflictError
+
+    mem = InMemoryCommitStore()
+    path = str(tmp_path / "tbl")
+    ta = IceboxTable.create(spark, path, SCHEMA_V1, n_buckets=4, store=mem)
+    tb = IceboxTable.load(spark, path, store=mem)  # snapshot 0 handle
+    log = generate_changelog(spark, 2_000, 100, seed=85)
+    for i in range(6):
+        ta.merge(scan_slice(log, i * 300, (i + 1) * 300), f"b{i}")
+    ta.expire_snapshots(keep_last=1)  # floor checkpoint at 6; names 0..5 freed
+    floor = min(ta._log_ids("checkpoint"))
+    assert floor > 1
+
+    # the raw guard: a stale handle's direct commit attempt is rejected
+    with pytest.raises(CommitConflictError, match="stale table handle"):
+        tb._try_commit({"parent": tb.snapshot["snapshot_id"], "added": [],
+                        "removed_buckets": [], "batch_id": "stale-x"})
+    # no freed name was re-created below the floor
+    assert all(i >= floor for i in tb._log_ids("commit"))
+
+    # the merge path self-heals via refresh-and-retry
+    m = tb.merge(scan_slice(log, 1_800, 2_000), "b-late")
+    assert m["skipped"] is False
+    expected = oracle.replay(scan_slice(log, 0, 2_000).toPandas())
+    oracle.assert_table_equal(ta.refresh() and ta.read().toPandas(), expected)
+    # history stays fully renderable for every reader
+    assert len(ta.snapshots()) == len(ta._history_ids()) or ta.history().count() > 0
+
+
+def test_snapshots_skips_orphan_commit_below_floor(spark, tmp_path):
+    """A debris commit-<id>.json below the earliest checkpoint (crashed
+    stale writer whose retraction never ran) must be skipped by
+    snapshots()/history()/expire rather than crashing the fold."""
+    from sparkcdc.commitstore import InMemoryCommitStore
+
+    mem = InMemoryCommitStore()
+    path = str(tmp_path / "tbl")
+    ta = IceboxTable.create(spark, path, SCHEMA_V1, n_buckets=4, store=mem)
+    log = generate_changelog(spark, 1_500, 100, seed=86)
+    for i in range(5):
+        ta.merge(scan_slice(log, i * 300, (i + 1) * 300), f"b{i}")
+    ta.expire_snapshots(keep_last=1)
+    floor = min(ta._log_ids("checkpoint"))
+    import json as _json
+
+    mem.put(f"commit-{floor - 2}.json",
+            _json.dumps({"snapshot_id": floor - 2, "parent": floor - 3,
+                         "added": [], "removed_buckets": []}).encode())
+    snaps = ta.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == [s for s in ta._history_ids()
+                                                if s >= floor]
+    assert ta.history().count() == len(snaps)
+    ta.expire_snapshots(keep_last=1)  # does not crash on the orphan
+    t2 = IceboxTable.load(spark, path, store=mem)  # reload path unaffected
+    assert t2.read().count() == ta.read().count()
