@@ -127,6 +127,54 @@ def minhash_signatures(df: DataFrame, *, k: int = MINHASH_K, text_col: str = "te
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_keys(sig: DataFrame, *, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, band_key) rows from a signature frame (``mh_0`` …
+    ``mh_{k-1}``): the band key concatenates the band's minhashes. Shared
+    by the recompute path (minhash_lsh_pairs) and the persistent
+    SignatureIndex so both derive identical candidates."""
+    rows = k // bands
+    band_cols = [
+        F.concat_ws("|", *[F.col(f"mh_{b * rows + j}") for j in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    keyed = sig.select("doc_id", *band_cols)
+    return keyed.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band", "band_key"),
+    )
+
+
+def cap_hot_bands(banded: DataFrame, max_band: int) -> DataFrame:
+    """Hot-band skew guard: deterministically downsample band groups larger
+    than ``max_band`` (xxhash64 order). ``max_band <= 0`` is a no-op."""
+    if max_band <= 0:
+        return banded
+    w = Window.partitionBy("band", "band_key").orderBy(
+        F.abs(F.xxhash64(F.col("doc_id"))), F.col("doc_id")
+    )
+    return (
+        banded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_band)
+        .drop("_rn")
+    )
+
+
+def banded_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct (doc1 < doc2) pairs sharing at least one (band, band_key)."""
+    x = banded.alias("x")
+    y = banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -150,38 +198,8 @@ def minhash_lsh_pairs(
     mass anyway. ``0`` disables (oracle/exactness mode)."""
     if max_band is None:
         max_band = 512
-    rows = k // bands
     sig = minhash_signatures(df, k=k, text_col=text_col)
-    band_cols = [
-        F.concat_ws("|", *[F.col(f"mh_{b * rows + j}") for j in range(rows)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    keyed = sig.select("doc_id", *band_cols)
-    banded = keyed.select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band", "band_key"),
-    )
-    if max_band > 0:
-        w = Window.partitionBy("band", "band_key").orderBy(
-            F.abs(F.xxhash64(F.col("doc_id"))), F.col("doc_id")
-        )
-        banded = (
-            banded.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= max_band)
-            .drop("_rn")
-        )
-    x = banded.alias("x")
-    y = banded.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc1"), F.col("y.doc_id").alias("doc2"))
-        .distinct()
-    )
+    return banded_pairs(cap_hot_bands(band_keys(sig, k=k, bands=bands), max_band))
 
 
 def lsh_verified_pairs(

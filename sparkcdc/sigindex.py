@@ -1,0 +1,231 @@
+"""sigindex — a persistent MinHash/LSH signature index, maintained
+incrementally from an icebox table's change feed.
+
+This is the reference's incremental-pull principle (fetch only issues
+updated since the last run — /root/reference/src/main/java/org/embulk/
+input/jira/JiraInputPlugin.java:154-163) applied to the dedup family.
+Recomputing shingles + MinHash for the whole corpus on every ingest is
+O(corpus) CPU per batch — the dominant dedup cost at 100 TB. Instead the
+signatures live in their OWN icebox table (``doc_id, mh_0 … mh_{k-1}``,
+LWW-merged, hash-bucketed like any other table), and maintenance is:
+
+  read_changes(from=last-synced snapshot)   -- O(changed buckets)
+    → minhash_signatures(changed docs only) -- O(batch) CPU
+    → MERGE into the index                  -- O(touched buckets)
+    → advance_consumer                      -- pin released
+
+The doc table's consumer registry pins the from-snapshot, so table
+maintenance (expire_snapshots) can never break the index's incremental
+reader; the MERGE's batch_id is derived from the (from, to) snapshot ids,
+so a crash between MERGE and advance_consumer replays as an exactly-once
+no-op. Deduping a NEW batch probes the batch's band keys against the
+index: signatures are computed for the batch only, the batch side is
+broadcast, and the index is scanned once with no shuffle — no document
+text outside the batch is re-read or re-hashed.
+
+Band keys are DERIVED from the stored minhashes at read time (a pure
+projection) rather than stored, so the index stays one narrow row per
+document and band parameters can be re-derived without a rebuild.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .commitstore import CommitStore
+from .dedupe_docs import (
+    LSH_BANDS,
+    MINHASH_K,
+    band_keys,
+    banded_pairs,
+    cap_hot_bands,
+    minhash_signatures,
+)
+from .icebox import IceboxTable
+
+_META_NAME = "sigindex.json"
+
+
+def _index_schema(k: int, key_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [T.StructField("doc_id", key_type)]
+        + [T.StructField(f"mh_{i}", T.StringType()) for i in range(k)]
+    )
+
+
+class SignatureIndex:
+    """Persistent MinHash signature index over a document corpus.
+
+    Wraps an :class:`IceboxTable` keyed by ``doc_id``; ``k``/``bands`` are
+    frozen at create time in a metadata sidecar so every maintainer and
+    prober derives the same hash family.
+    """
+
+    def __init__(self, spark: SparkSession, table: IceboxTable, *, k: int, bands: int):
+        self.spark = spark
+        self.table = table
+        self.k = k
+        self.bands = bands
+
+    # ---------------- lifecycle ----------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        k: int = MINHASH_K,
+        bands: int = LSH_BANDS,
+        n_buckets: int = 16,
+        key_type: T.DataType = T.StringType(),
+        store: CommitStore | None = None,
+    ) -> "SignatureIndex":
+        if k % bands:
+            raise ValueError(f"k={k} must be divisible by bands={bands}")
+        table = IceboxTable.create(
+            spark, path, _index_schema(k, key_type), key="doc_id",
+            n_buckets=n_buckets, store=store,
+        )
+        table._store.put(_META_NAME, json.dumps({"k": k, "bands": bands}).encode())
+        return cls(spark, table, k=k, bands=bands)
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str, *, store: CommitStore | None = None
+    ) -> "SignatureIndex":
+        table = IceboxTable.load(spark, path, store=store)
+        meta = json.loads(table._store.get(_META_NAME))
+        return cls(spark, table, k=int(meta["k"]), bands=int(meta["bands"]))
+
+    # ---------------- incremental maintenance ----------------
+
+    def refresh_from(
+        self,
+        doc_table: IceboxTable,
+        *,
+        consumer: str = "sigindex",
+        text_col: str = "text",
+    ) -> dict:
+        """Fold the doc table's changes since the last sync into the index.
+
+        O(changed docs), not O(corpus): ``read_changes`` reads only buckets
+        whose file set changed, shingling/hashing runs only over those
+        docs, and the MERGE touches only their index buckets. An upserted
+        doc too short to shingle (or a deleted doc) is REMOVED from the
+        index — unindexable docs never pollute the band space. Safe to
+        re-run after a crash: the batch id is the (from, to) snapshot pair,
+        so the replayed MERGE is skipped by the idempotency fence, and the
+        consumer pin is only advanced after the MERGE is durable."""
+        to_sid = doc_table.refresh()["snapshot_id"]
+        regs = doc_table.consumers()
+        if consumer in regs:
+            from_sid = regs[consumer]
+            if from_sid == to_sid:
+                return {
+                    "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
+                }
+            ch = doc_table.read_changes(from_sid, to_sid)
+        elif 0 in doc_table._history_ids():
+            # bootstrap: snapshot 0 is the empty created table, so the
+            # first refresh indexes the whole current corpus as "changes"
+            from_sid = doc_table.register_consumer(consumer, 0)
+            if from_sid == to_sid:
+                return {
+                    "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
+                }
+            ch = doc_table.read_changes(from_sid, to_sid)
+        else:
+            # bootstrap onto a table whose empty snapshot is already
+            # expired: the full current state IS the change set (every
+            # visible row as an upsert at its own LSN). Registration
+            # happens AFTER the merge — a crash in between just redoes
+            # the bootstrap (LWW makes the re-merge a harmless rewrite).
+            from_sid = None
+            ch = doc_table.read(to_sid, with_seq=True).select(
+                F.lit("upsert").alias("_change"), "*"
+            ).drop("_deleted")
+        ups = ch.where(F.col("_change") == "upsert")
+        sigs = minhash_signatures(ups, k=self.k, text_col=text_col)
+        keyed = ups.select("doc_id", "_seq")
+        mh_cols = [f"mh_{i}" for i in range(self.k)]
+        idx_up = keyed.join(sigs, "doc_id").select(
+            F.lit("upsert").alias("_change"), "doc_id", *mh_cols, "_seq"
+        )
+        null_mh = [F.lit(None).cast("string").alias(c) for c in mh_cols]
+        unshingleable = keyed.join(sigs.select("doc_id"), "doc_id", "left_anti")
+        removals = (
+            ch.where(F.col("_change") == "delete")
+            .select("doc_id", "_seq")
+            .unionByName(unshingleable)
+            .select(F.lit("delete").alias("_change"), "doc_id", *null_mh, "_seq")
+        )
+        m = self.table.merge(
+            idx_up.unionByName(removals),
+            batch_id=f"{consumer}:{from_sid}->{to_sid}",
+            seq_col="_seq",
+            op_col="_change",
+            delete_value="delete",
+            fence=False,
+            tombstones=True,
+        )
+        if from_sid is None:
+            doc_table.register_consumer(consumer, to_sid)
+        else:
+            doc_table.advance_consumer(consumer, to_sid)
+        return {**m, "from_snapshot": from_sid, "to_snapshot": to_sid}
+
+    # ---------------- query ----------------
+
+    def signatures(self) -> DataFrame:
+        """Current (doc_id, mh_0 … mh_{k-1}) — identical to
+        ``minhash_signatures`` over the current corpus state."""
+        return self.table.read()
+
+    def pairs(self, *, max_band: int | None = None) -> DataFrame:
+        """All candidate near-dup pairs from the stored index — equals
+        ``minhash_lsh_pairs`` over the current corpus with zero signature
+        recompute (band keys are a projection of the index scan)."""
+        if max_band is None:
+            max_band = 512
+        banded = cap_hot_bands(
+            band_keys(self.signatures(), k=self.k, bands=self.bands), max_band
+        )
+        return banded_pairs(banded)
+
+    def probe(
+        self,
+        new_docs: DataFrame,
+        *,
+        text_col: str = "text",
+        max_band: int | None = None,
+    ) -> DataFrame:
+        """Candidate pairs between a NEW batch and the indexed corpus:
+        ``(new_id, indexed_id)`` sharing at least one LSH band.
+
+        The scale path for ingest-time dedup: MinHash runs over the batch
+        only, the batch's band rows are broadcast, and the index is scanned
+        once with NO shuffle (broadcast hash join) — per-batch cost is
+        O(batch CPU + index scan), independent of corpus text size. Docs
+        already present in the index match themselves; callers dedup a
+        batch pre-commit by probing before merging it into the doc table
+        (``new_id != indexed_id`` filters the self-match either way)."""
+        if max_band is None:
+            max_band = 512
+        nsig = minhash_signatures(new_docs, k=self.k, text_col=text_col)
+        nb = band_keys(nsig, k=self.k, bands=self.bands).select(
+            F.col("doc_id").alias("new_id"), "band", "band_key"
+        )
+        ib = cap_hot_bands(
+            band_keys(self.signatures(), k=self.k, bands=self.bands), max_band
+        )
+        return (
+            ib.join(F.broadcast(nb), ["band", "band_key"])
+            .where(F.col("doc_id") != F.col("new_id"))
+            .select("new_id", F.col("doc_id").alias("indexed_id"))
+            .distinct()
+        )

@@ -1,0 +1,248 @@
+"""SignatureIndex: incremental MinHash/LSH index maintenance from the doc
+table's change feed. Invariant under test everywhere: batch-incremental
+maintenance == full recompute over the final corpus (signatures, pairs,
+and probes), at O(changed docs) cost per refresh."""
+
+from __future__ import annotations
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from sparkcdc.dedupe_docs import minhash_lsh_pairs, minhash_signatures
+from sparkcdc.icebox import IceboxTable
+from sparkcdc.sigindex import SignatureIndex
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF001}/documents.parquet")
+        .select("doc_id", "text", "lang")
+    )
+
+
+def _as_log(df, op="upsert", seq_base=0):
+    """Turn a docs frame into merge input (seq = doc_id + base, op col)."""
+    return df.select(
+        "doc_id", "text", "lang",
+        (F.col("doc_id") + F.lit(seq_base)).cast("long").alias("seq"),
+        F.lit(op).alias("op"),
+    )
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy(*df.columns).collect()]
+
+
+@pytest.fixture()
+def doc_table(spark, tmp_path):
+    return IceboxTable.create(
+        spark, str(tmp_path / "docs"), DOC_SCHEMA, n_buckets=8
+    )
+
+
+def test_incremental_equals_full_recompute_with_updates_and_deletes(
+    spark, tmp_path, doc_table
+):
+    docs = _docs(spark)
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(half_a), "b1")
+    m1 = idx.refresh_from(doc_table)
+    assert m1["from_snapshot"] == 0 and not m1.get("skipped")
+
+    # second batch: inserts (half_b), UPDATES (rewrite 10 of half_a's
+    # texts at a later seq), and DELETES (drop 10 other half_a docs)
+    updates = (
+        half_a.orderBy("doc_id").limit(10)
+        .select("doc_id", F.concat(F.lit("rewritten totally new words "),
+                                   F.col("text")).alias("text"), "lang")
+    )
+    deletes = half_a.orderBy(F.desc("doc_id")).limit(10).select("doc_id", "text", "lang")
+    doc_table.merge(
+        _as_log(half_b, seq_base=100_000)
+        .unionByName(_as_log(updates, seq_base=200_000))
+        .unionByName(_as_log(deletes, op="delete", seq_base=300_000)),
+        "b2",
+    )
+    m2 = idx.refresh_from(doc_table)
+    assert not m2.get("skipped")
+
+    corpus = doc_table.read().select("doc_id", "text")
+    expect_sig = _sorted_rows(minhash_signatures(corpus))
+    got_sig = _sorted_rows(idx.signatures().select(*minhash_signatures(corpus).columns))
+    assert got_sig == expect_sig
+    expect_pairs = _sorted_rows(minhash_lsh_pairs(corpus, max_band=0))
+    got_pairs = _sorted_rows(idx.pairs(max_band=0))
+    assert got_pairs == expect_pairs
+
+
+def test_refresh_cost_is_o_changed_buckets_not_corpus(spark, tmp_path, doc_table):
+    """The point of the index: refresh #2 must read only the CHANGED
+    buckets of the doc table and merge only the changed docs — not
+    re-shingle the corpus."""
+    docs = _docs(spark)
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), n_buckets=8, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(docs), "b1")
+    idx.refresh_from(doc_table)
+
+    # touch ONE doc (one bucket of 8)
+    one = docs.orderBy("doc_id").limit(1).select(
+        "doc_id", F.concat(F.lit("edited "), F.col("text")).alias("text"), "lang"
+    )
+    doc_table.merge(_as_log(one, seq_base=500_000), "b2")
+
+    from_sid = doc_table.consumers()["sigindex"]
+    ch = doc_table.read_changes(from_sid, doc_table.snapshot["snapshot_id"])
+    # change-feed scan is bucket-pruned: only the touched bucket's files
+    feed_files = ch.inputFiles()
+    all_files = doc_table.read().inputFiles()
+    assert 0 < len(feed_files) < len(all_files)
+
+    m2 = idx.refresh_from(doc_table)
+    assert m2["applied_events"] == 1  # one signature recomputed, not 500
+    assert len(m2["touched_buckets"]) == 1  # one index bucket rewritten
+
+    corpus = doc_table.read().select("doc_id", "text")
+    assert _sorted_rows(idx.pairs(max_band=0)) == _sorted_rows(
+        minhash_lsh_pairs(corpus, max_band=0)
+    )
+
+
+def test_refresh_replay_after_crash_is_exactly_once(spark, tmp_path, doc_table):
+    """Crash between MERGE and advance_consumer: the re-run re-reads the
+    same change window; its MERGE replays with the same batch id and is
+    skipped by the idempotency fence; the pin then advances."""
+    docs = _docs(spark)
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(half_a), "b1")
+    idx.refresh_from(doc_table)
+    doc_table.merge(_as_log(docs.where(F.col("doc_id") % 2 == 1),
+                            seq_base=100_000), "b2")
+
+    real_advance = doc_table.advance_consumer
+    calls = {"n": 0}
+
+    def crashing_advance(name, sid):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before consumer advance")
+
+    doc_table.advance_consumer = crashing_advance
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.refresh_from(doc_table)
+    doc_table.advance_consumer = real_advance
+    assert calls["n"] == 1
+
+    m = idx.refresh_from(doc_table)  # replay of the SAME window
+    assert m["skipped"] is True or m["applied_events"] == 0
+    assert doc_table.consumers()["sigindex"] == doc_table.snapshot["snapshot_id"]
+    corpus = doc_table.read().select("doc_id", "text")
+    assert _sorted_rows(idx.signatures().select("doc_id", "mh_0")) == _sorted_rows(
+        minhash_signatures(corpus).select("doc_id", "mh_0")
+    )
+
+
+def test_probe_matches_cross_pairs_of_full_recompute(spark, tmp_path, doc_table):
+    docs = _docs(spark)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(corpus), "b1")
+    idx.refresh_from(doc_table)
+
+    got = {
+        (min(r.new_id, r.indexed_id), max(r.new_id, r.indexed_id))
+        for r in idx.probe(batch, max_band=0).collect()
+    }
+    ids_a = {r.doc_id for r in corpus.select("doc_id").collect()}
+    ids_b = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = minhash_lsh_pairs(docs, max_band=0).collect()
+    expect = {
+        (r.doc1, r.doc2)
+        for r in full
+        if (r.doc1 in ids_a) != (r.doc2 in ids_a)  # exactly one side indexed
+        and (r.doc1 in ids_a or r.doc1 in ids_b)
+        and (r.doc2 in ids_a or r.doc2 in ids_b)
+    }
+    assert got == expect
+
+
+def test_probe_plan_broadcasts_batch_and_skips_doc_table(spark, tmp_path, doc_table):
+    """Scale shape of the probe: batch side broadcast (no index shuffle
+    for the join) and NO scan of the document table at all."""
+    docs = _docs(spark)
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(docs), "b1")
+    idx.refresh_from(doc_table)
+    probe = idx.probe(docs.limit(20))
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert doc_table.path not in plan  # only the compact index is scanned
+
+
+def test_unshingleable_and_deleted_docs_leave_the_index(spark, tmp_path, doc_table):
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en"),
+        (2, "one two three four five six", "en"),
+        (3, "tiny", "en"),  # < 3 words: never indexable
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), n_buckets=2, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(df), "b1")
+    idx.refresh_from(doc_table)
+    assert {r.doc_id for r in idx.signatures().select("doc_id").collect()} == {1, 2}
+
+    # doc 1 edited down to an unshingleable stub, doc 2 deleted outright
+    edit = spark.createDataFrame([(1, "now short", "en")], DOC_SCHEMA)
+    dele = spark.createDataFrame([(2, None, None)], DOC_SCHEMA)
+    doc_table.merge(
+        _as_log(edit, seq_base=1_000).unionByName(
+            _as_log(dele, op="delete", seq_base=1_000)
+        ),
+        "b2",
+    )
+    idx.refresh_from(doc_table)
+    assert idx.signatures().count() == 0
+    assert idx.pairs(max_band=0).count() == 0
+
+
+def test_load_roundtrip_preserves_hash_family(spark, tmp_path, doc_table):
+    docs = _docs(spark)
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), k=8, bands=4, n_buckets=4,
+        key_type=T.LongType(),
+    )
+    doc_table.merge(_as_log(docs), "b1")
+    idx.refresh_from(doc_table)
+    re = SignatureIndex.load(spark, str(tmp_path / "sig"))
+    assert (re.k, re.bands) == (8, 4)
+    assert _sorted_rows(re.pairs(max_band=0)) == _sorted_rows(idx.pairs(max_band=0))
+    with pytest.raises(ValueError, match="divisible"):
+        SignatureIndex.create(spark, str(tmp_path / "bad"), k=8, bands=3)
