@@ -671,9 +671,14 @@ def q_dedup_incremental_index(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """Oracle-mode SimHash (md5 family — its bits are replicable in DuckDB
+    SQL). The production default is hash_family='native' (xxhash64 fully
+    JVM-side, no Arrow UDF), pinned plan-level in tests/test_plans.py."""
     from sparkcdc.dedupe_docs import simhash_near_pairs
 
-    pairs = simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    pairs = simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8, hash_family="md5"
+    )
     return pairs.select(
         "doc1", "doc2", F.col("hamming").cast("long").alias("hamming")
     )

@@ -243,10 +243,57 @@ def lsh_verified_pairs(
     )
 
 
+def simhash64_native(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, sim): 64-bit SimHash computed ENTIRELY in native
+    expressions — the 100 TB path. Tokens via ``split``+``explode``,
+    per-token ``xxhash64``, the per-bit ±1 vote as 64 JVM-side sums
+    (partial-aggregated map-side, one shuffle on doc_id), and the sign
+    bits packed into a signed int64 from two 32-bit halves (shift-OR —
+    shifts are not overflow-checked, so the plan also survives a foreign
+    ANSI-on session). No Python touches a row; the whole pipeline stays
+    inside whole-stage codegen (pinned in tests/test_plans.py).
+
+    Same structure as the md5 ``simhash64`` pandas UDF but a different
+    hash family — sim values are NOT comparable across the two. Null text
+    → null sim; token-less text → all-zero votes → -2^63, matching the
+    md5 family's conventions."""
+    toks = df.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    vote = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    votes = h.groupBy("doc_id").agg(*vote)
+    bit = lambda b: F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    lo = sum((F.shiftleft(bit(b), b) for b in range(1, 32)), F.shiftleft(bit(0), 0))
+    hi = sum((F.shiftleft(bit(b), b - 32) for b in range(33, 64)), F.shiftleft(bit(32), 0))
+    packed = votes.select(
+        "doc_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("_sim")
+    )
+    # mirror the md5 family's edge conventions via one left join back
+    return (
+        df.select("doc_id", F.col(text_col).alias("_t"))
+        .join(packed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_t").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.coalesce(F.col("_sim"), F.lit(-(1 << 63)).cast("long")))
+            .alias("sim"),
+        )
+    )
+
+
 @pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-vectorized batch;
-    hashing via Python's stable md5 per token within the batch)."""
+    hashing via Python's stable md5 per token within the batch). This is
+    the ORACLE-MODE hash family (md5 is replicable bit-for-bit in DuckDB
+    SQL); the default scale path is ``simhash64_native``."""
     import hashlib
 
     import numpy as np
@@ -272,6 +319,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_chunk: int | None = None,
     n_rows: int | None = None,
+    hash_family: str = "native",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
     (pigeonhole: hamming ≤ 4 pairs almost always share a chunk at ≤3
@@ -287,12 +335,23 @@ def simhash_near_pairs(
     join sides — recall degrades only in the pathological region.
     ``max_chunk=0`` disables the cap (exactness / oracle mode). ``n_rows``
     (caller-known corpus size) skips the row-count probe; otherwise a
-    zero-job parquet-footer count is tried before one count() job."""
+    zero-job parquet-footer count is tried before one count() job.
+
+    ``hash_family``: ``"native"`` (default) hashes tokens with xxhash64
+    fully JVM-side — the scale path; ``"md5"`` uses the Arrow-UDF md5
+    family whose bits are replicable in DuckDB SQL (oracle mode). Pair
+    sets differ between families only where hamming distances straddle
+    ``max_hamming`` — both are valid SimHash instantiations."""
     from .ann import _cap_row_count, default_bucket_cap
 
     if max_chunk is None:
         max_chunk = default_bucket_cap(_cap_row_count(df, n_rows), 65536)
-    h = df.select("doc_id", simhash64(F.col(text_col)).alias("sim"))
+    if hash_family == "native":
+        h = simhash64_native(df, text_col=text_col).where(F.col("sim").isNotNull())
+    elif hash_family == "md5":
+        h = df.select("doc_id", simhash64(F.col(text_col)).alias("sim"))
+    else:
+        raise ValueError(f"hash_family must be 'native' or 'md5', got {hash_family!r}")
     # band the bits into (idx, value) chunks — both must match to be a candidate
     chunks = h.select(
         "doc_id", "sim",

@@ -468,3 +468,70 @@ def test_near_dup_clusters_connected_components(spark):
         near_dup_clusters(chain, max_iter=2)
     full = near_dup_clusters(chain, max_iter=20).collect()
     assert all(r["cluster_id"] == "n00" for r in full) and len(full) == 13
+
+
+def test_simhash_native_bitvote_matches_reference_packing(spark):
+    """The native path's 64-sum bit-vote + two-half sign packing must
+    equal an independent Python bit-vote over the SAME per-token xxhash64
+    values (pulled from Spark, so only the vote/packing logic is under
+    test — the hash family itself is Spark's)."""
+    from sparkcdc.dedupe_docs import simhash64_native
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # identical → same sim
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "completely different content here entirely"),
+        (5, None),       # null text → null sim
+        (6, "   "),      # token-less → -2^63 sentinel
+        (7, "solo"),     # single token: every vote ±1, sim = bits of hash
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r.sim for r in simhash64_native(df).collect()}
+
+    toks = df.selectExpr(
+        "doc_id", "explode(split(trim(text), '\\\\s+')) AS tok"
+    ).where("tok <> ''")
+    hs = toks.selectExpr("doc_id", "xxhash64(tok) AS h").collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in hs:
+        by_doc.setdefault(r.doc_id, []).append(r.h)
+
+    def pyvote(hashes: list[int]) -> int:
+        acc = [0] * 64
+        for h in hashes:
+            u = h & 0xFFFFFFFFFFFFFFFF
+            for b in range(64):
+                acc[b] += 1 if (u >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if acc[b] > 0:
+                v |= 1 << b
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for doc_id in (1, 2, 3, 4, 7):
+        assert got[doc_id] == pyvote(by_doc[doc_id]), f"doc {doc_id}"
+    assert got[1] == got[2]
+    assert got[5] is None
+    assert got[6] == -(1 << 63)
+
+
+def test_simhash_native_pairs_structural_properties(spark):
+    """The native family satisfies the same near-dup structure the md5
+    family's tests pin: exact dups at hamming 0, near dups under the
+    threshold, unrelated docs absent. The near-dup hamming (6) is stable:
+    xxhash64's seed is fixed, so the one-token edit flips the same six
+    vote-marginal bits in every session."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate
+        (3, base.replace("tok3 ", "changed ", 1)),  # one token edited
+        (4, "entirely unrelated words about database snapshot isolation"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r.doc1, r.doc2): r.hamming
+             for r in simhash_near_pairs(df, max_hamming=12, n_rows=4).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 6 and pairs[(2, 3)] == 6
+    assert not any(4 in p for p in pairs)
