@@ -50,6 +50,16 @@ class JobConfig:
     # bucket count tracks table growth without operator intervention
     target_bucket_bytes: int | None = None
     log_format: str = "parquet"  # "parquet" | "json" (JSON-lines WAL)
+    # streaming front-end knobs (streaming.run_streaming / stateful sink):
+    # files ingested per micro-batch — the streaming batch-size analog of
+    # batch_size (bigger triggers amortize commit overhead, smaller bound
+    # latency and per-trigger memory)
+    stream_max_files_per_trigger: int = 8
+    # trigger mode for the live (non-draining) stream: "available_now"
+    # callers drain-and-stop; "processing_time" polls the source every
+    # stream_trigger_interval (a real cluster's steady-state tail mode)
+    stream_trigger: str = "available_now"
+    stream_trigger_interval: str = "10 seconds"
     # driver-level retry of a failed merge commit (≈ JiraInputPlugin.java:69-83)
     retry_limit: int = 5
     retry_initial_wait_sec: float = 1.0
@@ -80,6 +90,14 @@ class JobConfig:
             raise ConfigError("target_bucket_bytes must be greater than 0")
         if self.log_format not in ("parquet", "json"):
             raise ConfigError("log_format must be 'parquet' or 'json'")
+        if self.stream_max_files_per_trigger <= 0:
+            raise ConfigError("stream_max_files_per_trigger must be greater than 0")
+        if self.stream_trigger not in ("available_now", "processing_time"):
+            raise ConfigError(
+                "stream_trigger must be 'available_now' or 'processing_time'"
+            )
+        if not str(self.stream_trigger_interval).strip():
+            raise ConfigError("stream_trigger_interval could not be empty")
         for c in self.columns:
             if "name" not in c or "type" not in c:
                 raise ConfigError(f"column spec needs name and type: {c}")

@@ -396,6 +396,7 @@ def near_dup_clusters(
     id2: str = "doc2",
     max_iter: int = 20,
     checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph — the step that
     turns pairwise near-dup OUTPUT (minhash/simhash/cosine pairs) into a
@@ -412,20 +413,33 @@ def near_dup_clusters(
     shallow (dup clusters are dense), so the cap is a backstop, not a
     truncation — a hit raises rather than returning a wrong clustering.
 
-    ``checkpoint`` truncates plan lineage per round (localCheckpoint) —
-    without it the iterated join tree compounds and round k replans the
-    previous k-1 rounds. On a real cluster prefer a reliable checkpoint
-    dir (``spark.sparkContext.setCheckpointDir``); localCheckpoint is the
-    single-process form. Only nodes appearing in at least one pair are
-    returned (singletons are trivially their own cluster).
+    ``checkpoint`` truncates plan lineage per round — without it the
+    iterated join tree compounds and round k replans the previous k-1
+    rounds. ``checkpoint_dir`` selects the RELIABLE form: the round state
+    is materialized to that (cluster-visible) directory via
+    ``setCheckpointDir`` + ``DataFrame.checkpoint``, so an executor loss
+    mid-iteration recomputes from the last round's files instead of
+    replaying the whole join tree from the source — the right mode for a
+    long-running 100 TB clustering. With ``checkpoint_dir=None`` the
+    single-process ``localCheckpoint`` (executor-memory blocks, not
+    fault-tolerant) is used. Only nodes appearing in at least one pair
+    are returned (singletons are trivially their own cluster).
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     labels = (
         edges.select("a").distinct().select(F.col("a").alias("node"), F.col("a").alias("label"))
     )
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
+        edges = _ckpt(edges)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -440,7 +454,7 @@ def near_dup_clusters(
             )
         )
         if checkpoint:
-            new = new.localCheckpoint(eager=True)
+            new = _ckpt(new)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")

@@ -169,6 +169,7 @@ def run_stateful_lww_to_table(
     max_files_per_trigger: int = 4,
     max_batches: int | None = None,
     state_ttl_ms: int | None = None,
+    cfg=None,
 ):
     """The RECOVERABLE form: drain ``wal_path`` through the stateful LWW
     operator and foreachBatch its update stream into an icebox table —
@@ -188,8 +189,14 @@ def run_stateful_lww_to_table(
     test_stateful_lww_into_icebox_sink_with_restart.
 
     ``max_batches`` stops the query after N triggers WITHOUT draining
-    (simulates a mid-stream kill in tests). Returns the IceboxTable.
+    (simulates a mid-stream kill in tests). Passing a validated
+    ``JobConfig`` as ``cfg`` sources the trigger size (and table layout)
+    from its streaming knobs instead of the keyword defaults. Returns the
+    IceboxTable.
     """
+    if cfg is not None:
+        max_files_per_trigger = cfg.stream_max_files_per_trigger
+        n_buckets = cfg.n_buckets
     import pyspark.sql.types as T
 
     from .icebox import IceboxTable

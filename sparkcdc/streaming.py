@@ -74,7 +74,7 @@ def run_streaming(
 
     stream = (
         spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", str(cfg.stream_max_files_per_trigger))
         .parquet(cfg.log_path)
     )
     writer = (
@@ -85,6 +85,8 @@ def run_streaming(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return engine.metrics.totals()
+    if cfg.stream_trigger == "processing_time":
+        writer = writer.trigger(processingTime=cfg.stream_trigger_interval)
     return writer.start(), engine
 
 

@@ -535,3 +535,34 @@ def test_simhash_native_pairs_structural_properties(spark):
     assert pairs[(1, 2)] == 0
     assert pairs[(1, 3)] == 6 and pairs[(2, 3)] == 6
     assert not any(4 in p for p in pairs)
+
+
+def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir engages the RELIABLE checkpoint: same clustering as
+    the localCheckpoint path, round state materialized under the dir, and
+    plan lineage truncated (the returned frame scans the checkpointed RDD
+    instead of replaying the k-round join tree)."""
+    import os
+
+    from sparkcdc.dedupe_docs import near_dup_clusters
+
+    # chain of length 6 (multiple label-propagation rounds) + separate pair
+    edges = [(i, i + 1) for i in range(1, 6)] + [(100, 101)]
+    pairs = spark.createDataFrame(edges, "doc1: long, doc2: long")
+    ckdir = str(tmp_path / "cc-ckpt")
+    local = {(r.doc_id, r.cluster_id)
+             for r in near_dup_clusters(pairs).collect()}
+    reliable_df = near_dup_clusters(pairs, checkpoint_dir=ckdir)
+    reliable = {(r.doc_id, r.cluster_id) for r in reliable_df.collect()}
+    assert reliable == local
+    assert {c for _, c in reliable} == {1, 100}
+    # round state really landed in the reliable dir
+    ck_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert ck_files, "no checkpoint files written under checkpoint_dir"
+    # lineage is truncated: the final plan reads the checkpointed RDD and
+    # carries none of the iterated join tree above it
+    plan = reliable_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan and "Join" not in plan

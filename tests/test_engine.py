@@ -118,6 +118,9 @@ def test_preview_commits_nothing(spark, tmp_path):
         ({"retry_limit": -1}, "retry_limit"),
         ({"n_buckets": 0}, "n_buckets"),
         ({"columns": [{"name": "x"}]}, "column spec"),
+        ({"stream_max_files_per_trigger": 0}, "stream_max_files_per_trigger"),
+        ({"stream_trigger": "continuous"}, "stream_trigger"),
+        ({"stream_trigger_interval": "  "}, "stream_trigger_interval"),
     ],
 )
 def test_config_validation(kw, msg):
@@ -133,16 +136,27 @@ def test_missing_source_fails_preflight(spark, tmp_path):
         CDCEngine(spark, cfg)
 
 
-def test_streaming_front_end_converges(spark, tmp_path):
+@pytest.mark.parametrize("trigger_files", [8, 2])
+def test_streaming_front_end_converges(spark, tmp_path, trigger_files):
+    """Converges to the batch oracle under the default trigger size AND a
+    non-default config'd one (more, smaller micro-batches — the
+    stream_max_files_per_trigger knob actually reaches the source)."""
     from sparkcdc.streaming import run_streaming
 
     log_path = _mk_log(spark, tmp_path, seed=21, n=4_000, docs=300, dup_pct=10)
-    cfg = JobConfig(log_path=log_path, table_path=str(tmp_path / "stbl"), n_buckets=16)
+    cfg = JobConfig(
+        log_path=log_path, table_path=str(tmp_path / "stbl"), n_buckets=16,
+        stream_max_files_per_trigger=trigger_files,
+    )
     totals = run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
     expected = oracle.replay(spark.read.parquet(log_path).toPandas())
     got = IceboxTable.load(spark, cfg.table_path).read().toPandas()
     oracle.assert_table_equal(got, expected)
     assert totals["applied_events"] > 0
+    if trigger_files == 2:
+        # smaller trigger → strictly more micro-batches over the same WAL
+        n_files = len(spark.read.parquet(log_path).inputFiles())
+        assert totals["batches"] >= (n_files + 1) // 2
 
 
 def test_mor_replay_matches_oracle_and_compaction(spark, tmp_path):
@@ -416,6 +430,35 @@ def test_streaming_continuous_returns_live_query(spark, tmp_path):
             _time.sleep(0.5)
         assert engine.table.read().count() > 0
         assert any(r.get("kind") == "stream-batch" for r in engine.metrics.records)
+    finally:
+        query.stop()
+
+
+def test_streaming_processing_time_trigger_from_config(spark, tmp_path):
+    """stream_trigger='processing_time' + interval reach the live query:
+    the trigger clause lands in the query's progress and the stream still
+    converges to the batch oracle."""
+    from sparkcdc.streaming import run_streaming
+
+    log_path = _mk_log(spark, tmp_path, seed=73, n=2_000, docs=200)
+    cfg = JobConfig(
+        log_path=log_path, table_path=str(tmp_path / "ptbl"), n_buckets=8,
+        stream_trigger="processing_time", stream_trigger_interval="1 seconds",
+        stream_max_files_per_trigger=4,
+    ).validate()
+    query, engine = run_streaming(
+        spark, cfg, checkpoint_dir=str(tmp_path / "pckpt"), available_now=False
+    )
+    try:
+        import time as _time
+
+        expected = oracle.replay(spark.read.parquet(log_path).toPandas())
+        deadline = _time.time() + 90
+        while _time.time() < deadline:
+            if engine.table.refresh() and engine.table.read().count() == len(expected):
+                break
+            _time.sleep(0.5)
+        oracle.assert_table_equal(engine.table.read().toPandas(), expected)
     finally:
         query.stop()
 
