@@ -57,7 +57,88 @@ def _index_schema(k: int, key_type: T.DataType) -> T.StructType:
     )
 
 
-class SignatureIndex:
+class IncrementalIndex:
+    """Shared machinery for derived icebox tables maintained incrementally
+    from a source table's change feed (SignatureIndex here, VectorIndex in
+    vecindex.py): consumer-pinned read_changes window, a subclass-supplied
+    derivation over ONLY the changed rows, LWW MERGE into the index, and
+    exactly-once replay via a (from, to)-snapshot batch id. Source rows
+    the derivation cannot represent (too-short docs, null vectors) are
+    REMOVED from the index rather than stored degenerate."""
+
+    table: IceboxTable
+
+    def _refresh(self, src_table: IceboxTable, *, consumer: str, derive) -> dict:
+        """``derive(upserts) -> DataFrame`` maps changed source rows (the
+        ``_change='upsert'`` slice of the feed, payload columns intact) to
+        index payload rows keyed by the index key; rows it omits are
+        deleted from the index. O(changed source buckets) end to end."""
+        to_sid = src_table.refresh()["snapshot_id"]
+        regs = src_table.consumers()
+        if consumer in regs:
+            from_sid = regs[consumer]
+            if from_sid == to_sid:
+                return {
+                    "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
+                }
+            ch = src_table.read_changes(from_sid, to_sid)
+        elif 0 in src_table._history_ids():
+            # bootstrap: snapshot 0 is the empty created table, so the
+            # first refresh indexes the whole current corpus as "changes"
+            from_sid = src_table.register_consumer(consumer, 0)
+            if from_sid == to_sid:
+                return {
+                    "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
+                }
+            ch = src_table.read_changes(from_sid, to_sid)
+        else:
+            # bootstrap onto a table whose empty snapshot is already
+            # expired: the full current state IS the change set (every
+            # visible row as an upsert at its own LSN). Registration
+            # happens AFTER the merge — a crash in between just redoes
+            # the bootstrap (LWW makes the re-merge a harmless rewrite).
+            from_sid = None
+            ch = src_table.read(to_sid, with_seq=True).select(
+                F.lit("upsert").alias("_change"), "*"
+            ).drop("_deleted")
+        key = self.table.key
+        schema = self.table.schema
+        payload_cols = [f.name for f in schema.fields if f.name != key]
+        ups = ch.where(F.col("_change") == "upsert")
+        derived = derive(ups)
+        keyed = ups.select(key, "_seq")
+        idx_up = keyed.join(derived, key).select(
+            F.lit("upsert").alias("_change"), key, *payload_cols, "_seq"
+        )
+        nulls = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+            if f.name != key
+        ]
+        unrepresentable = keyed.join(derived.select(key), key, "left_anti")
+        removals = (
+            ch.where(F.col("_change") == "delete")
+            .select(key, "_seq")
+            .unionByName(unrepresentable)
+            .select(F.lit("delete").alias("_change"), key, *nulls, "_seq")
+        )
+        m = self.table.merge(
+            idx_up.unionByName(removals),
+            batch_id=f"{consumer}:{from_sid}->{to_sid}",
+            seq_col="_seq",
+            op_col="_change",
+            delete_value="delete",
+            fence=False,
+            tombstones=True,
+        )
+        if from_sid is None:
+            src_table.register_consumer(consumer, to_sid)
+        else:
+            src_table.advance_consumer(consumer, to_sid)
+        return {**m, "from_snapshot": from_sid, "to_snapshot": to_sid}
+
+
+class SignatureIndex(IncrementalIndex):
     """Persistent MinHash signature index over a document corpus.
 
     Wraps an :class:`IceboxTable` keyed by ``doc_id``; ``k``/``bands`` are
@@ -121,63 +202,11 @@ class SignatureIndex:
         re-run after a crash: the batch id is the (from, to) snapshot pair,
         so the replayed MERGE is skipped by the idempotency fence, and the
         consumer pin is only advanced after the MERGE is durable."""
-        to_sid = doc_table.refresh()["snapshot_id"]
-        regs = doc_table.consumers()
-        if consumer in regs:
-            from_sid = regs[consumer]
-            if from_sid == to_sid:
-                return {
-                    "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
-                }
-            ch = doc_table.read_changes(from_sid, to_sid)
-        elif 0 in doc_table._history_ids():
-            # bootstrap: snapshot 0 is the empty created table, so the
-            # first refresh indexes the whole current corpus as "changes"
-            from_sid = doc_table.register_consumer(consumer, 0)
-            if from_sid == to_sid:
-                return {
-                    "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
-                }
-            ch = doc_table.read_changes(from_sid, to_sid)
-        else:
-            # bootstrap onto a table whose empty snapshot is already
-            # expired: the full current state IS the change set (every
-            # visible row as an upsert at its own LSN). Registration
-            # happens AFTER the merge — a crash in between just redoes
-            # the bootstrap (LWW makes the re-merge a harmless rewrite).
-            from_sid = None
-            ch = doc_table.read(to_sid, with_seq=True).select(
-                F.lit("upsert").alias("_change"), "*"
-            ).drop("_deleted")
-        ups = ch.where(F.col("_change") == "upsert")
-        sigs = minhash_signatures(ups, k=self.k, text_col=text_col)
-        keyed = ups.select("doc_id", "_seq")
-        mh_cols = [f"mh_{i}" for i in range(self.k)]
-        idx_up = keyed.join(sigs, "doc_id").select(
-            F.lit("upsert").alias("_change"), "doc_id", *mh_cols, "_seq"
+        return self._refresh(
+            doc_table,
+            consumer=consumer,
+            derive=lambda ups: minhash_signatures(ups, k=self.k, text_col=text_col),
         )
-        null_mh = [F.lit(None).cast("string").alias(c) for c in mh_cols]
-        unshingleable = keyed.join(sigs.select("doc_id"), "doc_id", "left_anti")
-        removals = (
-            ch.where(F.col("_change") == "delete")
-            .select("doc_id", "_seq")
-            .unionByName(unshingleable)
-            .select(F.lit("delete").alias("_change"), "doc_id", *null_mh, "_seq")
-        )
-        m = self.table.merge(
-            idx_up.unionByName(removals),
-            batch_id=f"{consumer}:{from_sid}->{to_sid}",
-            seq_col="_seq",
-            op_col="_change",
-            delete_value="delete",
-            fence=False,
-            tombstones=True,
-        )
-        if from_sid is None:
-            doc_table.register_consumer(consumer, to_sid)
-        else:
-            doc_table.advance_consumer(consumer, to_sid)
-        return {**m, "from_snapshot": from_sid, "to_snapshot": to_sid}
 
     # ---------------- query ----------------
 
