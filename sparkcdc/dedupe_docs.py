@@ -272,20 +272,20 @@ def simhash64_native(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     bit = lambda b: F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
     lo = sum((F.shiftleft(bit(b), b) for b in range(1, 32)), F.shiftleft(bit(0), 0))
     hi = sum((F.shiftleft(bit(b), b - 32) for b in range(33, 64)), F.shiftleft(bit(32), 0))
-    packed = votes.select(
-        "doc_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("_sim")
+    packed = votes.select("doc_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("sim"))
+    # mirror the md5 family's edge conventions (null text → null sim,
+    # token-less text → all-zero votes → -2^63) via a UNION with the
+    # cheap empty-doc slice — a predicate on the pruned (doc_id, text)
+    # scan, NOT a join of the whole corpus back against itself
+    empty = df.where(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    ).select(
+        "doc_id",
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("long"))
+        .otherwise(F.lit(-(1 << 63)).cast("long"))
+        .alias("sim"),
     )
-    # mirror the md5 family's edge conventions via one left join back
-    return (
-        df.select("doc_id", F.col(text_col).alias("_t"))
-        .join(packed, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("_t").isNull(), F.lit(None).cast("long"))
-            .otherwise(F.coalesce(F.col("_sim"), F.lit(-(1 << 63)).cast("long")))
-            .alias("sim"),
-        )
-    )
+    return packed.unionByName(empty)
 
 
 @pandas_udf(T.LongType())

@@ -51,7 +51,8 @@ def _lww_pandas(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @given(events, st.randoms())
-@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
 def test_lww_is_permutation_and_duplication_invariant(evs, rng):
     base = _to_pdf(evs)
     shuffled_rows = list(base.itertuples(index=False))
@@ -67,7 +68,10 @@ def test_lww_is_permutation_and_duplication_invariant(evs, rng):
 
 
 @given(events)
-@settings(max_examples=50)
+# deadline=None: the sandbox is a shared box — a noisy-neighbor pause
+# can push any single example past hypothesis's 200 ms wall-clock
+# deadline and report a flaky 'failure' with a passing example
+@settings(max_examples=50, deadline=None)
 def test_oracle_replay_matches_lww_model(evs):
     base = _to_pdf(evs)
     ora = oracle.replay(base)
