@@ -27,6 +27,8 @@ Module map (see SURVEY.md §7):
     metrics       structured metrics
     textops       token counts / lang-ID / quality / fingerprints
     dedupe_docs   exact / Jaccard / MinHash-LSH / SimHash near-dup
+    sigindex      persistent MinHash index, change-feed maintained
+    vecindex      persistent LSH-ANN vector index, change-feed maintained
     ann           cosine top-k, multi-band LSH, IVF
     multimodal    binary payloads + Arrow decode stage
     oracle        single-threaded pandas replay oracle (test-only)
