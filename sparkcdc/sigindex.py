@@ -68,6 +68,13 @@ class IncrementalIndex:
 
     table: IceboxTable
 
+    # fold MOR delta files back into bucket bases once more than this many
+    # accumulate (the streaming sink's compact_delta_files discipline):
+    # steady-state refreshes are small relative to the index, so the
+    # cost-based merge lands them as O(batch) deltas — without periodic
+    # folding, read-time LWW resolution degrades as deltas stack up
+    compact_delta_files: int = 32
+
     def _refresh(self, src_table: IceboxTable, *, consumer: str, derive) -> dict:
         """``derive(upserts) -> DataFrame`` maps changed source rows (the
         ``_change='upsert'`` slice of the feed, payload columns intact) to
@@ -130,11 +137,20 @@ class IncrementalIndex:
             delete_value="delete",
             fence=False,
             tombstones=True,
+            # cost-based: a small steady-state refresh lands as MOR deltas
+            # (O(batch) write) instead of COW-rewriting its buckets; the
+            # bootstrap (batch ≈ index) goes copy-on-write
+            mor=None,
         )
         if from_sid is None:
             src_table.register_consumer(consumer, to_sid)
         else:
             src_table.advance_consumer(consumer, to_sid)
+        n_delta = sum(
+            1 for e in self.table.snapshot["manifest"] if e.get("kind") == "delta"
+        )
+        if self.compact_delta_files and n_delta > self.compact_delta_files:
+            m = {**m, "compacted": self.table.compact()}
         return {**m, "from_snapshot": from_sid, "to_snapshot": to_sid}
 
 
@@ -258,3 +274,80 @@ class SignatureIndex(IncrementalIndex):
             .select("new_id", F.col("doc_id").alias("indexed_id"))
             .distinct()
         )
+
+
+def dedup_gated_ingest(
+    doc_table: IceboxTable,
+    index: SignatureIndex,
+    batch: DataFrame,
+    batch_id: str,
+    *,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    max_band: int | None = None,
+) -> dict:
+    """The production ingest shape: near-dup-gate a batch against the
+    ALREADY-INGESTED corpus before committing it.
+
+      probe      — the batch's band keys (computed over the batch only,
+                   broadcast) against one scan of the signature index
+      verify     — exact n-gram Jaccard on candidate pairs ONLY; the
+                   indexed side's text is point-read from the doc table
+                   by key (read_keys: bucket + footer-range pruning), so
+                   verification reads O(candidate) rows, not the corpus
+      commit     — survivors MERGE into the doc table (deletes and
+                   non-candidate upserts pass straight through)
+      maintain   — the index folds the same committed changes via its
+                   change-feed refresh, staying exactly in sync
+
+    Per-batch cost is O(batch CPU + index scan + candidate point-reads) —
+    independent of corpus text size. In-batch duplicates are NOT handled
+    here (run exact_dedupe / minhash over the batch first if producers
+    can emit them); a batch doc pairing only with other batch docs is
+    ingested. Returns counts + the merge and refresh metrics."""
+    from .dedupe_docs import shingles
+
+    ups = batch.where(F.col(op_col) != "delete")
+    cand = index.probe(ups, text_col=text_col, max_band=max_band)
+    idx_ids = [r["indexed_id"] for r in cand.select("indexed_id").distinct().collect()]
+    dropped = 0
+    if idx_ids:
+        key = doc_table.key
+        idx_docs = doc_table.read_keys(idx_ids).select(
+            F.col(key).alias("indexed_id"), F.col(text_col).alias("_itext")
+        )
+        sh_new = shingles(ups.select(F.col(key).alias("doc_id"), text_col))
+        sh_idx = shingles(
+            idx_docs.select(F.col("indexed_id").alias("doc_id"), F.col("_itext").alias(text_col))
+        )
+        cnt_new = sh_new.groupBy("doc_id").agg(F.count("*").alias("n_new"))
+        cnt_idx = sh_idx.groupBy("doc_id").agg(F.count("*").alias("n_idx"))
+        inter = (
+            cand.join(sh_new.select(F.col("doc_id").alias("new_id"), "shingle"), "new_id")
+            .join(sh_idx.select(F.col("doc_id").alias("indexed_id"), "shingle"),
+                  ["indexed_id", "shingle"])
+            .groupBy("new_id", "indexed_id")
+            .agg(F.count("*").alias("n_common"))
+        )
+        verified = (
+            inter.join(cnt_new.select(F.col("doc_id").alias("new_id"), "n_new"), "new_id")
+            .join(cnt_idx.select(F.col("doc_id").alias("indexed_id"), "n_idx"), "indexed_id")
+            .where(
+                F.col("n_common")
+                / (F.col("n_new") + F.col("n_idx") - F.col("n_common"))
+                >= threshold
+            )
+        )
+        losers = verified.select(F.col("new_id").alias(doc_table.key)).distinct()
+        dropped = losers.count()
+        batch = batch.join(losers, doc_table.key, "left_anti")
+    m = doc_table.merge(batch, batch_id, seq_col=seq_col, op_col=op_col)
+    ref = index.refresh_from(doc_table)
+    return {
+        "dropped_near_dups": dropped,
+        "merge": m,
+        "index_refresh": {k: ref[k] for k in ("from_snapshot", "to_snapshot")
+                          if k in ref},
+    }

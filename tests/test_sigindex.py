@@ -246,3 +246,82 @@ def test_load_roundtrip_preserves_hash_family(spark, tmp_path, doc_table):
     assert _sorted_rows(re.pairs(max_band=0)) == _sorted_rows(idx.pairs(max_band=0))
     with pytest.raises(ValueError, match="divisible"):
         SignatureIndex.create(spark, str(tmp_path / "bad"), k=8, bands=3)
+
+
+def test_steady_state_refreshes_land_as_deltas_and_compact(spark, tmp_path, doc_table):
+    """Small refreshes must not COW-rewrite index buckets (cost-based
+    merge → MOR deltas, O(batch) write); past compact_delta_files the
+    refresh folds them back. Pairs stay recompute-identical throughout."""
+    docs = _docs(spark)
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(docs), "b0")
+    idx.refresh_from(doc_table)  # bootstrap: COW
+
+    idx.compact_delta_files = 3
+    saw_compact = False
+    for i in range(5):
+        one = docs.where(F.col("doc_id") == i).select(
+            "doc_id",
+            F.concat(F.lit(f"edit{i} fresh words here "), F.col("text")).alias("text"),
+            "lang",
+        )
+        doc_table.merge(_as_log(one, seq_base=(i + 1) * 10_000), f"e{i}")
+        m = idx.refresh_from(doc_table)
+        kinds = {e.get("kind") for e in idx.table.snapshot["manifest"]}
+        if "compacted" in m:
+            saw_compact = True
+            assert "delta" not in kinds  # folded back to bases
+        elif not saw_compact:
+            assert "delta" in kinds  # steady-state refresh appended a delta
+    assert saw_compact, "compaction threshold never tripped"
+    corpus = doc_table.read().select("doc_id", "text")
+    assert _sorted_rows(idx.pairs(max_band=0)) == _sorted_rows(
+        minhash_lsh_pairs(corpus, max_band=0)
+    )
+
+
+def test_dedup_gated_ingest_drops_corpus_near_dups(spark, tmp_path, doc_table):
+    """The composed ingest path: near-dups of ALREADY-INGESTED docs are
+    dropped pre-commit (probe → point-read verify), fresh docs and
+    deletes pass through, and the index ends exactly in sync."""
+    from sparkcdc.sigindex import dedup_gated_ingest
+
+    docs = _docs(spark)
+    corpus = docs.where(F.col("doc_id") < 400)
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(corpus), "b0")
+    idx.refresh_from(doc_table)
+
+    # batch: 5 near-dups of indexed docs (one word appended), 3 fresh
+    # docs (unique text), and 1 delete of an existing doc
+    near = corpus.orderBy("doc_id").limit(5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"), "lang",
+    )
+    fresh = spark.createDataFrame(
+        [(20_000 + i,
+          f"genuinely novel document number {i} with wholly distinct phrasing "
+          f"nothing shares these tokens {i * 7} {i * 13} {i * 19}", "en")
+         for i in range(3)],
+        "doc_id: long, text: string, lang: string",
+    )
+    dele = corpus.where(F.col("doc_id") == 0).select("doc_id", "text", "lang")
+    batch = (
+        _as_log(near, seq_base=100_000)
+        .unionByName(_as_log(fresh, seq_base=100_000))
+        .unionByName(_as_log(dele, op="delete", seq_base=100_000))
+    )
+    res = dedup_gated_ingest(doc_table, idx, batch, "gated-1", threshold=0.6)
+    assert res["dropped_near_dups"] == 5
+    ids = {r.doc_id for r in doc_table.read().select("doc_id").collect()}
+    assert not any(i >= 10_000 and i < 20_000 for i in ids)  # near-dups out
+    assert {20_000, 20_001, 20_002} <= ids                   # fresh in
+    assert 0 not in ids                                      # delete applied
+    corpus_now = doc_table.read().select("doc_id", "text")
+    assert _sorted_rows(
+        idx.signatures().select("doc_id", "mh_0")
+    ) == _sorted_rows(minhash_signatures(corpus_now).select("doc_id", "mh_0"))
