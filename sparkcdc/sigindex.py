@@ -228,7 +228,12 @@ class SignatureIndex(IncrementalIndex):
 
     def signatures(self) -> DataFrame:
         """Current (doc_id, mh_0 … mh_{k-1}) — identical to
-        ``minhash_signatures`` over the current corpus state."""
+        ``minhash_signatures`` over the current corpus state. Refreshes
+        the table handle first: an index serves LIVE state even when
+        another maintainer (or a fenced duplicate of our own refresh)
+        committed through a different handle; snapshot-pinned reads are
+        available via ``table.read(snapshot_id=...)`` directly."""
+        self.table.refresh()
         return self.table.read()
 
     def pairs(self, *, max_band: int | None = None) -> DataFrame:

@@ -146,7 +146,10 @@ class VectorIndex(IncrementalIndex):
 
     def tagged(self) -> DataFrame:
         """(vec_id, band, bucket) — the ``_band_tagged`` shape as a pure
-        projection of the stored bucket columns (zero hashing)."""
+        projection of the stored bucket columns (zero hashing). Serves
+        LIVE state (handle refreshed, same contract as
+        SignatureIndex.signatures)."""
+        self.table.refresh()
         return self.table.read().select(
             "vec_id",
             F.posexplode(
@@ -170,6 +173,7 @@ class VectorIndex(IncrementalIndex):
         default from the index's own manifest row stats (no count job)."""
         from .ann import default_bucket_cap
 
+        self.table.refresh()
         if max_bucket is None:
             n_rows = sum(e["rows"] for e in self.table.snapshot["manifest"])
             max_bucket = default_bucket_cap(n_rows, 2 ** self.n_planes)
@@ -222,6 +226,7 @@ class VectorIndex(IncrementalIndex):
         O(queries · hashing + index scan), not O(corpus · hashing)."""
         from .ann import default_bucket_cap
 
+        self.table.refresh()
         if max_bucket is None:
             n_rows = sum(e["rows"] for e in self.table.snapshot["manifest"])
             max_bucket = default_bucket_cap(n_rows, 2 ** self.n_planes)

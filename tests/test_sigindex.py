@@ -325,3 +325,39 @@ def test_dedup_gated_ingest_drops_corpus_near_dups(spark, tmp_path, doc_table):
     assert _sorted_rows(
         idx.signatures().select("doc_id", "mh_0")
     ) == _sorted_rows(minhash_signatures(corpus_now).select("doc_id", "mh_0"))
+
+
+def test_racing_maintainers_refresh_exactly_once(spark, tmp_path, doc_table):
+    """Two index handles (two drivers) refresh the SAME change window
+    concurrently: both derive the same (from,to) batch id, so exactly one
+    MERGE lands and the other is fenced as a duplicate — the index never
+    double-applies and matches the recompute."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    docs = _docs(spark)
+    idx_path = str(tmp_path / "sig")
+    idx = SignatureIndex.create(spark, idx_path, n_buckets=4, key_type=T.LongType())
+    doc_table.merge(_as_log(docs.where(F.col("doc_id") < 250)), "b1")
+    idx.refresh_from(doc_table)
+    doc_table.merge(_as_log(docs.where(F.col("doc_id") >= 250),
+                            seq_base=100_000), "b2")
+
+    h1 = SignatureIndex.load(spark, idx_path)
+    h2 = SignatureIndex.load(spark, idx_path)
+    t1 = IceboxTable.load(spark, doc_table.path)
+    t2 = IceboxTable.load(spark, doc_table.path)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(h1.refresh_from, t1)
+        f2 = ex.submit(h2.refresh_from, t2)
+        r1, r2 = f1.result(), f2.result()
+
+    applied = [r for r in (r1, r2)
+               if not r.get("skipped") and r.get("applied_events", 0) > 0]
+    assert len(applied) <= 1  # at most one write landed; the other fenced
+    # regardless of interleaving, one more refresh converges the pin
+    idx.refresh_from(doc_table)
+    corpus = doc_table.read().select("doc_id", "text")
+    assert _sorted_rows(idx.signatures().select("doc_id", "mh_0")) == _sorted_rows(
+        minhash_signatures(corpus).select("doc_id", "mh_0")
+    )
