@@ -60,6 +60,13 @@ class JobConfig:
     # stream_trigger_interval (a real cluster's steady-state tail mode)
     stream_trigger: str = "available_now"
     stream_trigger_interval: str = "10 seconds"
+    # continuous dedup-index maintenance: when set, the engine keeps a
+    # SignatureIndex at this path in sync with the table, refreshing it
+    # from the change feed after every applied batch — the ingest
+    # pipeline's dedup probe then always sees the just-committed state.
+    # Requires the payload to carry ``sigindex_text_col``.
+    sigindex_path: str | None = None
+    sigindex_text_col: str = "text"
     # driver-level retry of a failed merge commit (≈ JiraInputPlugin.java:69-83)
     retry_limit: int = 5
     retry_initial_wait_sec: float = 1.0
@@ -98,6 +105,10 @@ class JobConfig:
             )
         if not str(self.stream_trigger_interval).strip():
             raise ConfigError("stream_trigger_interval could not be empty")
+        if self.sigindex_path is not None and not self.sigindex_path:
+            raise ConfigError("sigindex_path could not be empty")
+        if self.sigindex_path is not None and not self.sigindex_text_col:
+            raise ConfigError("sigindex_text_col could not be empty")
         for c in self.columns:
             if "name" not in c or "type" not in c:
                 raise ConfigError(f"column spec needs name and type: {c}")

@@ -129,6 +129,30 @@ class CDCEngine:
                 spark, cfg.table_path, schema, key=cfg.key, n_buckets=cfg.n_buckets
             )
         self.metrics = MetricsLog(cfg.table_path)
+        self.sigindex = None
+        if cfg.sigindex_path:
+            from .config import ConfigError
+            from .sigindex import SignatureIndex
+
+            tbl_schema = self.table.schema
+            if cfg.sigindex_text_col not in tbl_schema.names:
+                raise ConfigError(
+                    f"sigindex_text_col {cfg.sigindex_text_col!r} not in the "
+                    f"table payload {tbl_schema.names} — continuous index "
+                    f"maintenance needs a text column to shingle"
+                )
+            if cfg.key != "doc_id":
+                raise ConfigError(
+                    "continuous index maintenance requires key='doc_id' "
+                    "(the dedup family's document identity column)"
+                )
+            if SignatureIndex.table_exists(cfg.sigindex_path):
+                self.sigindex = SignatureIndex.load(spark, cfg.sigindex_path)
+            else:
+                self.sigindex = SignatureIndex.create(
+                    spark, cfg.sigindex_path,
+                    key_type=tbl_schema[cfg.key].dataType,
+                )
 
     # ---------------- planning ----------------
 
@@ -343,6 +367,20 @@ class CDCEngine:
             plan = plan[:max_batches]
         for i, (lo, hi) in enumerate(plan, 1):
             self.apply_batch(lo, hi)
+            if self.sigindex is not None:
+                # continuous dedup-index maintenance: fold the batch just
+                # committed into the signature index via the change feed —
+                # O(batch), exactly-once (sigindex.py), so an ingest-time
+                # dedup probe always sees the current corpus
+                ref = self.sigindex.refresh_from(
+                    self.table, text_col=self.cfg.sigindex_text_col
+                )
+                self.metrics.emit({
+                    "kind": "index-refresh",
+                    "from_snapshot": ref.get("from_snapshot"),
+                    "to_snapshot": ref.get("to_snapshot"),
+                    "applied_events": ref.get("applied_events", 0),
+                })
             if self.cfg.target_bucket_bytes:
                 # stats-driven partition evolution: bucket count doubles
                 # whenever the average bucket outgrows the target — the

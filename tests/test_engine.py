@@ -1099,3 +1099,57 @@ def test_windowed_stream_watermark_drops_late_events(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "wckpt"),
             query_name="win_counts_t2",
         )
+
+
+def test_engine_maintains_sigindex_continuously(spark, tmp_path):
+    """cfg.sigindex_path wires continuous dedup-index maintenance into the
+    replay loop: after every applied batch the SignatureIndex folds the
+    change feed, and at any stop point (including kill/resume) it matches
+    the recompute over the table's current state."""
+    from sparkcdc.changelog import generate_changelog, write_log_parquet
+    from sparkcdc.dedupe_docs import minhash_signatures
+    from sparkcdc.sigindex import SignatureIndex
+
+    log = generate_changelog(spark, 3_000, 200, seed=91, dup_pct=10)
+    wal = log.select(
+        "seq", "op", "doc_id",
+        F.when(
+            F.col("tokens").isNotNull(),
+            F.concat_ws(" ", F.transform("tokens", lambda t: F.concat(F.lit("w"), t))),
+        ).alias("text"),
+        "source",
+    )
+    wal_path = str(tmp_path / "textwal")
+    write_log_parquet(wal, wal_path)
+
+    cfg = JobConfig(
+        log_path=wal_path, table_path=str(tmp_path / "tbl"), n_buckets=8,
+        batch_size=1_000, sigindex_path=str(tmp_path / "sidx"),
+    )
+    eng = CDCEngine(spark, cfg)
+    eng.run(max_batches=1)  # simulated kill after batch 1
+    idx = SignatureIndex.load(spark, cfg.sigindex_path)
+
+    def assert_synced():
+        corpus = eng.table.read().select("doc_id", "text")
+        got = [tuple(r) for r in idx.signatures().select("doc_id", "mh_0")
+               .orderBy("doc_id").collect()]
+        want = [tuple(r) for r in minhash_signatures(corpus)
+                .select("doc_id", "mh_0").orderBy("doc_id").collect()]
+        assert got == want
+
+    assert_synced()
+    eng2 = CDCEngine(spark, cfg)  # resume from checkpoint
+    totals = eng2.run()
+    assert totals["applied_events"] > 0
+    eng = eng2
+    assert_synced()
+    refreshes = [r for r in eng2.metrics.records if r.get("kind") == "index-refresh"]
+    assert len(refreshes) >= 2  # one per applied batch
+    # validation: a payload without the text column is rejected up front
+    plain = str(tmp_path / "plainwal")
+    write_log_parquet(log, plain)
+    bad = JobConfig(log_path=plain, table_path=str(tmp_path / "tbl2"),
+                    sigindex_path=str(tmp_path / "sidx2"))
+    with pytest.raises(ConfigError, match="sigindex_text_col"):
+        CDCEngine(spark, bad)
