@@ -361,3 +361,37 @@ def test_racing_maintainers_refresh_exactly_once(spark, tmp_path, doc_table):
     assert _sorted_rows(idx.signatures().select("doc_id", "mh_0")) == _sorted_rows(
         minhash_signatures(corpus).select("doc_id", "mh_0")
     )
+
+
+def test_dedup_gated_ingest_edge_batches(spark, tmp_path, doc_table):
+    """Edges of the gated ingest: an all-duplicate batch commits nothing
+    but deletes; an empty batch is a clean no-op; the index stays in
+    sync through both."""
+    from sparkcdc.sigindex import dedup_gated_ingest
+
+    docs = _docs(spark)
+    corpus = docs.where(F.col("doc_id") < 300)
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "sig"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(corpus), "b0")
+    idx.refresh_from(doc_table)
+    before = doc_table.read().count()
+
+    # all-dup batch: exact copies of indexed docs under new ids
+    dup = corpus.orderBy("doc_id").limit(8).select(
+        (F.col("doc_id") + 50_000).alias("doc_id"), "text", "lang"
+    )
+    res = dedup_gated_ingest(doc_table, idx, _as_log(dup, seq_base=10_000),
+                             "gated-dups", threshold=0.6)
+    assert res["dropped_near_dups"] == 8
+    assert doc_table.read().count() == before  # nothing new landed
+
+    # empty batch
+    empty = spark.createDataFrame([], _as_log(dup).schema)
+    res2 = dedup_gated_ingest(doc_table, idx, empty, "gated-empty")
+    assert res2["dropped_near_dups"] == 0
+    corpus_now = doc_table.read().select("doc_id", "text")
+    assert _sorted_rows(idx.signatures().select("doc_id", "mh_0")) == _sorted_rows(
+        minhash_signatures(corpus_now).select("doc_id", "mh_0")
+    )

@@ -191,3 +191,57 @@ def test_load_roundtrip_freezes_plane_family(spark, tmp_path, vec_table):
     assert _rows(re.ann_topk(n_queries=3, k=5, max_bucket=0)) == _rows(
         idx.ann_topk(n_queries=3, k=5, max_bucket=0)
     )
+
+
+def test_racing_vector_maintainers_exactly_once(spark, tmp_path, vec_table):
+    """Mirror of the sigindex racing test for the vector index: two
+    handles refresh the same change window concurrently — at most one
+    MERGE lands, and the index converges to the recompute."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    path = str(tmp_path / "vidx")
+    idx = VectorIndex.create(spark, path, dim=dim, n_buckets=4)
+    vec_table.merge(_as_log(emb.where(F.col("vec_id") < 250)), "b1")
+    idx.refresh_from(vec_table)
+    vec_table.merge(_as_log(emb.where(F.col("vec_id") >= 250),
+                            seq_base=1_000_000), "b2")
+
+    h1, h2 = VectorIndex.load(spark, path), VectorIndex.load(spark, path)
+    t1 = IceboxTable.load(spark, vec_table.path)
+    t2 = IceboxTable.load(spark, vec_table.path)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        r1 = ex.submit(h1.refresh_from, t1).result()
+        r2 = ex.submit(h2.refresh_from, t2).result()
+    applied = [r for r in (r1, r2)
+               if not r.get("skipped") and r.get("applied_events", 0) > 0]
+    assert len(applied) <= 1
+    idx.refresh_from(vec_table)
+    corpus = vec_table.read()
+    expect = _rows(lsh_ann_topk(corpus, n_queries=5, k=10, max_bucket=0))
+    assert _rows(idx.ann_topk(n_queries=5, k=10, max_bucket=0)) == expect
+
+
+def test_doc_table_expiration_cannot_break_index_feed(spark, tmp_path, vec_table):
+    """The index's consumer pin protects its change-feed window: an
+    aggressive expire_snapshots on the source table between refreshes is
+    clamped at the pin, so the next refresh still reads its window and
+    the index stays recompute-identical."""
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()[0])
+    idx = VectorIndex.create(spark, str(tmp_path / "vidx"), dim=dim, n_buckets=4)
+    vec_table.merge(_as_log(emb.where(F.col("vec_id") < 200)), "b1")
+    idx.refresh_from(vec_table)
+    for i in range(4):  # history the expirer would love to drop
+        sl = emb.where((F.col("vec_id") >= 200 + i * 75) & (F.col("vec_id") < 275 + i * 75))
+        vec_table.merge(_as_log(sl, seq_base=(i + 1) * 1_000_000), f"b{i+2}")
+    res = vec_table.expire_snapshots(keep_last=1)
+    assert res["clamped_by_consumers"] is True  # pin held the floor
+    idx.refresh_from(vec_table)
+    corpus = vec_table.read()
+    expect = _rows(lsh_ann_topk(corpus, n_queries=5, k=10, max_bucket=0))
+    assert _rows(idx.ann_topk(n_queries=5, k=10, max_bucket=0)) == expect
+    # with the index synced and the pin advanced, expiration can reclaim
+    res2 = vec_table.expire_snapshots(keep_last=1)
+    assert res2["expired_snapshots"] > 0
