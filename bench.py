@@ -276,6 +276,37 @@ def main() -> int:
         ),
     )
 
+    # ---- ANN from the persistent vector index: built once (untimed),
+    # each timed rep answers the top-k query set from stored buckets +
+    # vectors with zero plane hashing — set beside `ann_cosine`'s
+    # brute-force recompute for the incremental-index comparison
+    from sparkcdc.vecindex import VectorIndex
+
+    emb_df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    vdim = len(emb_df.select("embedding").first()[0])
+    vt = IceboxTable.create(
+        spark, os.path.join(work, "vec-src"),
+        T.StructType([T.StructField("vec_id", T.LongType()),
+                      T.StructField("embedding", T.ArrayType(T.FloatType()))]),
+        key="vec_id", n_buckets=8,
+    )
+    vt.merge(
+        emb_df.select("vec_id", "embedding",
+                      F.col("vec_id").cast("long").alias("seq"),
+                      F.lit("upsert").alias("op")),
+        "bench-vecs",
+    )
+    vidx = VectorIndex.create(spark, os.path.join(work, "vec-idx"), dim=vdim, n_buckets=8)
+    vidx.refresh_from(vt)
+    timed(
+        "vecindex_topk",
+        lambda: extra.__setitem__(
+            "vecindex_topk_rows", float(vidx.ann_topk(n_queries=5, k=10).count())
+        ),
+    )
+
     shutil.rmtree(work, ignore_errors=True)
     medians = {k: round(_median(v), 3) for k, v in runs.items()}
     out = {
