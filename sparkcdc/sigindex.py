@@ -296,6 +296,7 @@ def dedup_gated_ingest(
     seq_col: str = "seq",
     op_col: str = "op",
     max_band: int | None = None,
+    point_read_threshold: int = 10_000,
 ) -> dict:
     """The production ingest shape: near-dup-gate a batch against the
     ALREADY-INGESTED corpus before committing it.
@@ -315,16 +316,33 @@ def dedup_gated_ingest(
     independent of corpus text size. In-batch duplicates are NOT handled
     here (run exact_dedupe / minhash over the batch first if producers
     can emit them); a batch doc pairing only with other batch docs is
-    ingested. Returns counts + the merge and refresh metrics."""
+    ingested.
+
+    Candidate texts come via ``read_keys`` point lookups (bucket +
+    footer-range pruning) while the distinct candidate id set fits
+    ``point_read_threshold`` driver-side; a dup-heavy batch whose
+    candidate set blows past it switches to a distributed semi-join
+    against the table scan instead — no unbounded driver collect on any
+    input. Returns counts + the merge and refresh metrics."""
     from .dedupe_docs import shingles
 
     ups = batch.where(F.col(op_col) != "delete")
     cand = index.probe(ups, text_col=text_col, max_band=max_band)
-    idx_ids = [r["indexed_id"] for r in cand.select("indexed_id").distinct().collect()]
+    cand_ids = cand.select("indexed_id").distinct()
+    idx_ids = [r["indexed_id"] for r in cand_ids.limit(point_read_threshold + 1).collect()]
     dropped = 0
     if idx_ids:
         key = doc_table.key
-        idx_docs = doc_table.read_keys(idx_ids).select(
+        if len(idx_ids) <= point_read_threshold:
+            cand_docs = doc_table.read_keys(idx_ids)
+        else:
+            # too many candidates for a keyed point-read: semi-join the
+            # candidate ids against the table scan (distributed, no
+            # driver materialization beyond the threshold probe above)
+            cand_docs = doc_table.read().join(
+                cand_ids.withColumnRenamed("indexed_id", key), key, "leftsemi"
+            )
+        idx_docs = cand_docs.select(
             F.col(key).alias("indexed_id"), F.col(text_col).alias("_itext")
         )
         sh_new = shingles(ups.select(F.col(key).alias("doc_id"), text_col))

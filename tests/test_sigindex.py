@@ -395,3 +395,43 @@ def test_dedup_gated_ingest_edge_batches(spark, tmp_path, doc_table):
     assert _sorted_rows(idx.signatures().select("doc_id", "mh_0")) == _sorted_rows(
         minhash_signatures(corpus_now).select("doc_id", "mh_0")
     )
+
+
+def test_gated_ingest_distributed_fallback_matches_point_reads(
+    spark, tmp_path, doc_table
+):
+    """point_read_threshold=0 forces the distributed semi-join path for
+    candidate texts; the gate decision must be identical to the keyed
+    point-read path."""
+    from sparkcdc.sigindex import dedup_gated_ingest
+
+    docs = _docs(spark)
+    corpus = docs.where(F.col("doc_id") < 300)
+    near = corpus.orderBy("doc_id").limit(6).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"), "lang",
+    )
+    fresh = spark.createDataFrame(
+        [(20_000, "wholly original content no shared shingles here at all", "en")],
+        "doc_id: long, text: string, lang: string",
+    )
+    batch = _as_log(near, seq_base=100_000).unionByName(_as_log(fresh, seq_base=100_000))
+
+    results = {}
+    for mode, thr in (("point", 10_000), ("scan", 0)):
+        dt = IceboxTable.create(
+            spark, str(tmp_path / f"docs-{mode}"), DOC_SCHEMA, n_buckets=8
+        )
+        idx = SignatureIndex.create(
+            spark, str(tmp_path / f"sig-{mode}"), n_buckets=4, key_type=T.LongType()
+        )
+        dt.merge(_as_log(corpus), "b0")
+        idx.refresh_from(dt)
+        res = dedup_gated_ingest(dt, idx, batch, "g1", threshold=0.6,
+                                 point_read_threshold=thr)
+        results[mode] = (
+            res["dropped_near_dups"],
+            sorted(r.doc_id for r in dt.read().select("doc_id").collect()),
+        )
+    assert results["point"] == results["scan"]
+    assert results["point"][0] == 6
