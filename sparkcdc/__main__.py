@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-max-file-rows", type=int, default=None,
                    help="split compacted buckets into files of at most N "
                         "rows (each covers a contiguous sort range)")
+    p.add_argument("--sigindex", default=None, metavar="PATH",
+                   help="keep a MinHash signature index at PATH in sync "
+                        "with the table (refreshed from the change feed "
+                        "after every batch; payload needs a text column)")
+    p.add_argument("--sigindex-text-col", default="text")
     args = p.parse_args(argv)
 
     spark = get_spark(app="sparkcdc-cli", master=args.master)
@@ -93,6 +98,8 @@ def main(argv: list[str] | None = None) -> int:
         log_format=args.log_format, merge_mode=args.merge_mode,
         compact_every=args.compact_every,
         target_bucket_bytes=args.target_bucket_bytes,
+        sigindex_path=args.sigindex,
+        sigindex_text_col=args.sigindex_text_col,
     )
     from .config import ConfigError, extract_error_messages
 
