@@ -298,6 +298,33 @@ def q_cdc_replay_engine(spark, sf_dir):
     return eng.read_table().select("doc_id", "n_tok", "source")
 
 
+def q_cdc_wap_publish(spark, sf_dir):
+    """Write-audit-publish gated ingest as a gate row: every micro-batch is
+    STAGED (invisible), audited against the would-be table state
+    (key uniqueness, LSN advance, row-count floor — sparkcdc/audit.py),
+    and only then published via the optimistic-CAS cherry-pick
+    (icebox.py publish_staged). A gated replay must converge to the SAME
+    final state as the plain replay oracle — the gate is a pure guard.
+    (token_invariant is deliberately absent: this derived log's tokens
+    array is sequence(1, pmod(n_tok,8)+1) — size != n_tok by
+    construction; the invariant check runs in tests/test_wap.py over a
+    log that satisfies it.)"""
+    from sparkcdc.config import JobConfig
+    from sparkcdc.engine import CDCEngine
+
+    tbl = tempfile.mkdtemp(prefix="sparkcdc-wap-")
+    cfg = JobConfig(
+        log_path=sf_dir,  # unused: log_df supplied
+        table_path=os.path.join(tbl, "tbl"),
+        batch_size=4000,
+        n_buckets=16,
+        audit_checks=["key_unique", "lsn_advance", "row_count:min_rows=1"],
+    )
+    eng = CDCEngine(spark, cfg, log_df=_derived_log(spark, sf_dir))
+    eng.run()
+    return eng.read_table().select("doc_id", "n_tok", "source")
+
+
 def q_cdc_filtered_read(spark, sf_dir):
     """Round-4 manifest-level data skipping as a gate row: replay the
     derived log into an icebox table, then read it back through
@@ -605,16 +632,6 @@ def q_dedup_keep_list(spark, sf_dir):
     return docs.join(losers, "doc_id", "left_anti").select("doc_id", "n_chars")
 
 
-def q_dedup_ngram_jaccard_capped(spark, sf_dir):
-    """Jaccard with the shingle document-frequency cap engaged — the skew
-    guard for corpora where stock phrases explode the shingle self-join."""
-    from sparkcdc.dedupe_docs import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.5, df_cap=3
-    )
-
-
 def q_dedup_lsh_verified(spark, sf_dir):
     """The 100 TB near-dup path: LSH band candidates → exact Jaccard verify
     on candidate pairs only."""
@@ -785,7 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_ngram_jaccard_capped": q_dedup_ngram_jaccard_capped,
+        "cdc_wap_publish": q_cdc_wap_publish,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "dedup_lsh_verified": q_dedup_lsh_verified,
@@ -1033,6 +1050,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tok, source
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
+        # gated (write-audit-publish) replay: staging + audit + cherry-pick
+        # publish is a pure guard — same converged state as the plain replay
+        "cdc_wap_publish": _FINAL_STATE_SQL + """
+            SELECT doc_id, n_tok, source
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
         # two concurrent writers over disjoint bucket halves converge to
         # the SAME serial LWW state — the oracle is replay-order-blind
         "cdc_multiwriter_merge": _FINAL_STATE_SQL + """
@@ -1242,25 +1265,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.n_chars FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-        """,
-        "dedup_ngram_jaccard_capped": shingle_cte + """,
-            freq AS (SELECT shingle, lang, COUNT(*) AS df FROM sh GROUP BY 1, 2),
-            shc AS (
-                SELECT sh.* FROM sh JOIN freq USING (shingle, lang) WHERE freq.df <= 3
-            ),
-            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS n_common
-                FROM shc a JOIN shc b
-                  ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT doc1, doc2,
-                   n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) AS jaccard
-            FROM inter
-            JOIN cnt ca ON ca.doc_id = doc1
-            JOIN cnt cb ON cb.doc_id = doc2
-            WHERE n_common * 1.0 / (ca.n_sh + cb.n_sh - n_common) >= 0.5
         """,
         "dedup_lsh_verified": shingle_cte + f""",
             sig AS (

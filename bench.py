@@ -181,6 +181,25 @@ def main() -> int:
         rep_state["applied"] / _median(runs["cdc_replay_large_batch"])
     )
 
+    # same WAL, gated (write-audit-publish): every batch is staged, audited
+    # in one agg pass over the would-be state, then cherry-pick published —
+    # the delta vs cdc_replay is the price of the quality gate per batch
+    def run_replay_gated() -> None:
+        i = rep_state["i"] = rep_state["i"] + 1
+        cfg_g = JobConfig(
+            log_path=log_path,
+            table_path=os.path.join(work, f"tbl_gated{i}"),
+            batch_size=max(n_events // 4, 1), n_buckets=cpus * 2,
+            audit_checks=["token_invariant", "key_unique", "lsn_advance",
+                          "row_count:min_rows=1"],
+        )
+        CDCEngine(spark, cfg_g).run()
+
+    timed("cdc_replay_gated", run_replay_gated)
+    extra["events_per_sec_gated"] = (
+        rep_state["applied"] / _median(runs["cdc_replay_gated"])
+    )
+
     # ---- point-lookup serving path: k-key read on the replayed table
     # (manifest bucket pruning + footer key-range pruning + pushed filter)
     some_keys = [r["doc_id"] for r in eng.read_table().select("doc_id").limit(5).collect()]
@@ -337,6 +356,7 @@ def main() -> int:
         "cpus": cpus,
         "events_per_sec": round(extra["events_per_sec"], 1),
         "events_per_sec_large_batch": round(extra["events_per_sec_large_batch"], 1),
+        "events_per_sec_gated": round(extra["events_per_sec_gated"], 1),
         "replay_events": int(extra["cdc_replay_events"]),
     }
     print(json.dumps(out))

@@ -20,6 +20,7 @@ Module map (see SURVEY.md §7):
     schema_infer  guess + schema evolution     (ref JiraInputPlugin.java:170-220)
     dedup         salted LWW dedup             (north-rule T2)
     icebox        snapshot-commit table        (north-rule T3; Iceberg-shaped)
+    audit         WAP staged-commit quality gates (stage → audit → publish)
     lineage       checkpoint fence             (north-rule T7)
     engine        micro-batch apply loop       (ref JiraInputPlugin.java:139-168)
     streaming     Structured Streaming tailer  (foreachBatch front-end)

@@ -57,6 +57,18 @@ def main(argv: list[str] | None = None) -> int:
                         "with the table (refreshed from the change feed "
                         "after every batch; payload needs a text column)")
     p.add_argument("--sigindex-text-col", default="text")
+    p.add_argument("--audit-check", action="append", default=None,
+                   metavar="SPEC", dest="audit_checks",
+                   help="write-audit-publish gate (repeatable): stage each "
+                        "batch, audit the would-be state, publish only on "
+                        "pass. SPEC is a check name with optional args, "
+                        "e.g. token_invariant, key_unique, "
+                        "row_count:min_rows=1,max_shrink_frac=0.5, "
+                        "null_fraction:col=source,max_frac=0.1")
+    p.add_argument("--audit-on-fail", default="abort",
+                   choices=["abort", "quarantine"],
+                   help="failed-audit policy: abort the run (default) or "
+                        "quarantine the batch (report + continue)")
     args = p.parse_args(argv)
 
     spark = get_spark(app="sparkcdc-cli", master=args.master)
@@ -92,18 +104,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_log_parquet(log, log_path)
 
-    cfg = JobConfig(
-        log_path=log_path, table_path=args.table,
-        batch_size=args.batch_size, n_buckets=args.n_buckets,
-        log_format=args.log_format, merge_mode=args.merge_mode,
-        compact_every=args.compact_every,
-        target_bucket_bytes=args.target_bucket_bytes,
-        sigindex_path=args.sigindex,
-        sigindex_text_col=args.sigindex_text_col,
-    )
     from .config import ConfigError, extract_error_messages
 
     try:
+        cfg = JobConfig(
+            log_path=log_path, table_path=args.table,
+            batch_size=args.batch_size, n_buckets=args.n_buckets,
+            log_format=args.log_format, merge_mode=args.merge_mode,
+            compact_every=args.compact_every,
+            target_bucket_bytes=args.target_bucket_bytes,
+            sigindex_path=args.sigindex,
+            sigindex_text_col=args.sigindex_text_col,
+            audit_checks=args.audit_checks,
+            audit_on_fail=args.audit_on_fail,
+        )
         engine = CDCEngine(spark, cfg)
         if args.preview:
             for row in engine.preview().collect():

@@ -67,6 +67,21 @@ class JobConfig:
     # Requires the payload to carry ``sigindex_text_col``.
     sigindex_path: str | None = None
     sigindex_text_col: str = "text"
+    # write-audit-publish quality gate: when set, every batch is STAGED
+    # (invisible), audited with these checks against the would-be table
+    # state, and only published if all pass (sparkcdc.audit). Specs are
+    # check names with optional args, e.g.
+    #   ["token_invariant", "key_unique", "row_count:min_rows=1"]
+    # or dicts: {"check": "null_fraction", "col": "source", "max_frac": 0.1}
+    audit_checks: list | None = None
+    # what to do with a batch that fails its audit:
+    #   "abort"      — stop the run with AuditFailedError (default; an
+    #                  operator investigates, the batch was never fenced
+    #                  so the fixed feed re-submits under the same id)
+    #   "quarantine" — drop the batch, emit the report, continue; once a
+    #                  LATER batch commits, the quarantined events are
+    #                  permanently fenced out (deliberate: alert + move on)
+    audit_on_fail: str = "abort"
     # driver-level retry of a failed merge commit (≈ JiraInputPlugin.java:69-83)
     retry_limit: int = 5
     retry_initial_wait_sec: float = 1.0
@@ -109,6 +124,17 @@ class JobConfig:
             raise ConfigError("sigindex_path could not be empty")
         if self.sigindex_path is not None and not self.sigindex_text_col:
             raise ConfigError("sigindex_text_col could not be empty")
+        if self.audit_on_fail not in ("abort", "quarantine"):
+            raise ConfigError("audit_on_fail must be 'abort' or 'quarantine'")
+        if self.audit_checks is not None:
+            if not self.audit_checks:
+                raise ConfigError("audit_checks could not be empty when set")
+            from .audit import parse_check_specs
+
+            try:
+                parse_check_specs(self.audit_checks)
+            except ValueError as exc:
+                raise ConfigError(str(exc)) from exc
         for c in self.columns:
             if "name" not in c or "type" not in c:
                 raise ConfigError(f"column spec needs name and type: {c}")

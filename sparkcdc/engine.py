@@ -311,11 +311,25 @@ class CDCEngine:
                 mor = None if self.cfg.merge_mode == "auto" else (
                     self.cfg.merge_mode == "mor"
                 )
-                m = self.table.merge(
-                    batch, batch_id, seq_col=self.cfg.seq_col,
-                    op_col=self.cfg.op_col, ts_col=self.cfg.ts_col,
-                    mor=mor,
-                )
+                if self.cfg.audit_checks:
+                    # gated ingest: stage → audit the would-be state →
+                    # publish-or-abort (write-audit-publish; audit.py).
+                    # Crash-resumable and exactly-once like the plain
+                    # merge — the staged delta carries the batch_id fence.
+                    from .audit import build_checks, wap_ingest
+
+                    m = wap_ingest(
+                        self.table, batch, batch_id,
+                        checks=build_checks(self.cfg.audit_checks),
+                        mor=mor, seq_col=self.cfg.seq_col,
+                        op_col=self.cfg.op_col, ts_col=self.cfg.ts_col,
+                    )
+                else:
+                    m = self.table.merge(
+                        batch, batch_id, seq_col=self.cfg.seq_col,
+                        op_col=self.cfg.op_col, ts_col=self.cfg.ts_col,
+                        mor=mor,
+                    )
                 break
             except Exception as exc:
                 if not is_retryable(exc):
@@ -325,6 +339,23 @@ class CDCEngine:
                     raise
                 time.sleep(min(wait, self.cfg.retry_max_wait_sec))
                 wait *= 2  # exponential backoff (JiraInputPlugin.java:69-75)
+        if m.get("reason") == "audit-failed":
+            from .audit import AuditFailedError
+
+            if self.cfg.audit_on_fail == "abort":
+                raise AuditFailedError(batch_id, m["audit"])
+            # quarantine: report + continue; the batch's events become
+            # permanently fenced once a later batch advances the LSN
+            return self.metrics.emit(
+                {
+                    "kind": "batch-quarantined",
+                    "lo": lo,
+                    "hi": hi,
+                    "batch_id": batch_id,
+                    "duration_sec": time.time() - t0,
+                    "audit": m["audit"],
+                }
+            )
         dur = time.time() - t0
         # watermark lag from the merge's probe action (no extra scan)
         mts = m.get("max_event_ts")

@@ -605,14 +605,17 @@ class IceboxTable:
         snapshot_id: int | None = None,
         *,
         as_of: float | None = None,
+        tag: str | None = None,
         with_seq: bool = False,
         include_tombstones: bool = False,
         filters: list[tuple] | None = None,
     ) -> DataFrame:
         """Current (or time-travel) table state as a DataFrame. Tables with
         delta files (merge-on-read commits) resolve LWW at read time.
-        Time travel by ``snapshot_id`` or by wall-clock ``as_of`` (epoch
-        seconds — newest snapshot committed at or before it).
+        Time travel by ``snapshot_id``, by wall-clock ``as_of`` (epoch
+        seconds — newest snapshot committed at or before it), or by named
+        ``tag`` (stable as the table advances; expiration never drops a
+        tagged snapshot).
 
         ``filters`` — simple conjunctive predicates
         ``[(col, op, value), ...]`` with op in {=, <, <=, >, >=, between}
@@ -624,9 +627,14 @@ class IceboxTable:
         table a selective range read launches tasks for O(matching
         files), not O(table) — row-group pushdown alone still opens
         every file's footer."""
+        if sum(x is not None for x in (snapshot_id, as_of, tag)) > 1:
+            raise ValueError("pass at most one of snapshot_id, as_of, tag")
+        if tag is not None:
+            refs = self.tags()
+            if tag not in refs:
+                raise KeyError(f"unknown tag {tag!r}; tags: {sorted(refs)}")
+            snapshot_id = refs[tag]
         if as_of is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass either snapshot_id or as_of, not both")
             snapshot_id = self.snapshot_as_of(as_of)
         snap = self._snap
         if snapshot_id is not None:
@@ -880,31 +888,41 @@ class IceboxTable:
     # garbage-collected after a successful publish; a reader that races
     # the GC (its listed version deleted under it) simply re-lists.
 
-    def _consumer_versions(self) -> list[int]:
+    def _registry_versions(self, prefix: str) -> list[int]:
         return sorted(
             int(n.rsplit("-", 1)[1].split(".")[0])
-            for n in self._store.list_names("consumers-")
+            for n in self._store.list_names(f"{prefix}-")
         )
+
+    def _consumer_versions(self) -> list[int]:
+        return self._registry_versions("consumers")
+
+    def _read_registry(self, prefix: str) -> dict[str, int]:
+        """Newest version of a CAS'd name→snapshot registry (consumers,
+        tags). Re-lists on a lost race with GC of superseded versions."""
+        for _ in range(8):
+            vs = self._registry_versions(prefix)
+            if not vs:
+                return {}
+            try:
+                regs = self._read_json(f"{prefix}-{vs[-1]}.json")
+            except FileNotFoundError:
+                continue  # lost a race with GC of superseded versions
+            return {k: int(v) for k, v in regs.items()}
+        raise CommitConflictError(f"{prefix} registry kept changing under reads")
 
     def consumers(self) -> dict[str, int]:
         """Registered incremental readers: name → the from-snapshot they
         still need. ``expire_snapshots`` never drops a registered snapshot."""
-        for _ in range(8):
-            vs = self._consumer_versions()
-            if not vs:
-                return {}
-            try:
-                regs = self._read_json(f"consumers-{vs[-1]}.json")
-            except FileNotFoundError:
-                continue  # lost a race with GC of superseded versions
-            return {k: int(v) for k, v in regs.items()}
-        raise CommitConflictError("consumer registry kept changing under reads")
+        return self._read_registry("consumers")
 
-    def _mutate_consumers(self, mutate) -> dict[str, int]:
+    def _mutate_registry(self, prefix: str, mutate) -> dict[str, int]:
         """CAS loop: publish mutate(current) as the next registry version.
-        Concurrent mutations serialize — none is ever lost.
+        Concurrent mutations serialize — none is ever lost. Shared by the
+        consumer registry and the tag registry (same versioned-file chain
+        discipline, different prefix).
 
-        ABA guard: GC of superseded ``consumers-<v>.json`` files re-opens
+        ABA guard: GC of superseded ``<prefix>-<v>.json`` files re-opens
         those names, so a stalled mutator can win ``put_if_absent`` on a
         version BELOW the current newest — readers (which take the max
         version) would never see its mutation. After every winning publish
@@ -914,12 +932,12 @@ class IceboxTable:
         is monotonic (GC only ever deletes below it), so a verified-max
         publish can never be shadowed later."""
         for _ in range(MAX_REBASES):
-            vs = self._consumer_versions()
+            vs = self._registry_versions(prefix)
             if vs:
                 try:
                     cur = {
                         k: int(v)
-                        for k, v in self._read_json(f"consumers-{vs[-1]}.json").items()
+                        for k, v in self._read_json(f"{prefix}-{vs[-1]}.json").items()
                     }
                 except FileNotFoundError:
                     continue  # raced GC; re-list
@@ -928,21 +946,24 @@ class IceboxTable:
             new = mutate(dict(cur))
             nxt = (vs[-1] if vs else 0) + 1
             if self._store.put_if_absent(
-                f"consumers-{nxt}.json", json.dumps(new).encode()
+                f"{prefix}-{nxt}.json", json.dumps(new).encode()
             ):
-                newest = self._consumer_versions()[-1]
+                newest = self._registry_versions(prefix)[-1]
                 if newest != nxt:
                     # won a freed (GC'd) name below the live head: invisible
                     # to readers — retract and retry on the real newest
-                    self._store.delete(f"consumers-{nxt}.json")
+                    self._store.delete(f"{prefix}-{nxt}.json")
                     continue
                 for v in vs:  # deferred GC (idempotent deletes)
                     if v <= nxt - CONSUMER_GC_LAG:
-                        self._store.delete(f"consumers-{v}.json")
+                        self._store.delete(f"{prefix}-{v}.json")
                 return new
         raise CommitConflictError(
-            f"consumer-registry CAS kept losing after {MAX_REBASES} attempts"
+            f"{prefix}-registry CAS kept losing after {MAX_REBASES} attempts"
         )
+
+    def _mutate_consumers(self, mutate) -> dict[str, int]:
+        return self._mutate_registry("consumers", mutate)
 
     def register_consumer(self, name: str, snapshot_id: int | None = None) -> int:
         """Pin a from-snapshot for an incremental (read_changes) consumer.
@@ -967,6 +988,43 @@ class IceboxTable:
             lambda regs: {k: v for k, v in regs.items() if k != name}
         )
 
+    # ---------------- named tags (retention roots) ----------------
+
+    def tags(self) -> dict[str, int]:
+        """Named snapshot refs: tag name → snapshot id. A tagged snapshot
+        (and the history needed to materialize it) is never expired —
+        tags are retention roots, the Iceberg ``create_tag`` analog for
+        audit pins ("the table as of the Q3 training run")."""
+        return self._read_registry("tags")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Tag a snapshot (default: current). Fails if the tag exists with
+        a DIFFERENT target (re-tagging the same snapshot is an idempotent
+        no-op — safe under driver retry); use ``delete_tag`` first to
+        move a tag deliberately."""
+        sid = self._snap["snapshot_id"] if snapshot_id is None else int(snapshot_id)
+        if sid not in self._history_ids():
+            raise SnapshotExpiredError(
+                f"cannot tag expired snapshot {sid}; "
+                f"available snapshots: {self._history_ids()}"
+            )
+
+        def mut(regs: dict) -> dict:
+            if name in regs and int(regs[name]) != sid:
+                raise ValueError(
+                    f"tag {name!r} already points at snapshot {regs[name]} "
+                    f"(delete_tag first to retarget)"
+                )
+            return {**regs, name: sid}
+
+        self._mutate_registry("tags", mut)
+        return sid
+
+    def delete_tag(self, name: str) -> None:
+        self._mutate_registry(
+            "tags", lambda regs: {k: v for k, v in regs.items() if k != name}
+        )
+
     def expire_snapshots(
         self,
         *,
@@ -978,10 +1036,11 @@ class IceboxTable:
         ``keep_last`` snapshots and delete data files referenced ONLY by
         the dropped ones. Time travel remains available within the kept
         window; the current snapshot is never dropped, and the window is
-        CLAMPED so no registered incremental consumer's from-snapshot is
-        expired (a lagging read_changes reader cannot be broken by
-        maintenance — it gets a typed SnapshotExpiredError only if it
-        never registered).
+        CLAMPED so no registered incremental consumer's from-snapshot and
+        no TAGGED snapshot is expired (a lagging read_changes reader
+        cannot be broken by maintenance — it gets a typed
+        SnapshotExpiredError only if it never registered; a tag pins its
+        snapshot until ``delete_tag``).
 
         Metadata-wise this writes a full checkpoint at the new history
         floor, then deletes the older commit/checkpoint files — the fold
@@ -1002,22 +1061,34 @@ class IceboxTable:
         exclusive maintenance window."""
         snaps = self.snapshots()
         orphans = 0
-        clamped = False
+        clamped = clamped_tags = False
         if len(snaps) <= keep_last:
             kept, dropped = snaps, []
         else:
             kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
-        regs = self.consumers()
-        if regs and dropped:
-            floor = min(regs.values())
-            keep_ids = {s["snapshot_id"] for s in kept}
-            if floor not in keep_ids and any(
-                s["snapshot_id"] == floor for s in dropped
-            ):
-                clamped = True
-                kept = [s for s in snaps if s["snapshot_id"] >= floor]
-                dropped = [s for s in snaps if s["snapshot_id"] < floor]
+        # retention roots: registered consumers' from-snapshots AND named
+        # tags — the window only ever widens (floor = the oldest pin)
+        for pins, flag in ((self.consumers(), "consumers"), (self.tags(), "tags")):
+            if pins and dropped:
+                floor = min(pins.values())
+                keep_ids = {s["snapshot_id"] for s in kept}
+                if floor not in keep_ids and any(
+                    s["snapshot_id"] == floor for s in dropped
+                ):
+                    if flag == "consumers":
+                        clamped = True
+                    else:
+                        clamped_tags = True
+                    kept = [s for s in snaps if s["snapshot_id"] >= floor]
+                    dropped = [s for s in snaps if s["snapshot_id"] < floor]
         live = {e["path"] for s in kept for e in s["manifest"]}
+        # staged-but-unpublished WAP commits reference data files no
+        # snapshot knows about yet — they are METADATA-referenced, not
+        # orphans, regardless of age (audits may outlive any grace window)
+        live |= {
+            e["path"] for info in self.staged().values()
+            for e in info["delta"].get("added", [])
+        }
         dead = {e["path"] for s in dropped for e in s["manifest"]} - live
         for rel in dead:
             try:
@@ -1069,6 +1140,7 @@ class IceboxTable:
             "deleted_files": len(dead),
             "orphan_files_swept": orphans,
             "clamped_by_consumers": clamped,
+            "clamped_by_tags": clamped_tags,
         }
 
     @staticmethod
@@ -1448,9 +1520,17 @@ class IceboxTable:
         ts_col: str | None = None,
         mor: bool | None = False,
         conflict_retries: int = 3,
+        stage: str | None = None,
     ) -> dict:
         """Key-partitioned MERGE of a micro-batch: last-writer-wins upsert +
         delete, idempotent on batch_id.
+
+        ``stage`` (write-audit-publish): instead of committing, park the
+        fully-computed commit delta as ``staged-<stage>.json`` — data
+        files written, metadata invisible to every reader. Audit the
+        would-be state with ``read_staged``, then ``publish_staged`` (an
+        atomic CAS commit, exactly-once on batch_id) or ``abort_staged``.
+        The Iceberg ``wap.id`` + cherry-pick pattern.
 
         Multi-writer safe: the commit is optimistic. A concurrent commit on
         DISJOINT buckets is rebased past transparently (no recompute); an
@@ -1486,6 +1566,10 @@ class IceboxTable:
 
         Returns a metrics dict (also recorded in the snapshot summary).
         """
+        import re
+
+        if stage is not None and not re.fullmatch(r"[A-Za-z0-9._-]+", stage):
+            raise ValueError(f"invalid stage id {stage!r} (want [A-Za-z0-9._-]+)")
         last_err: CommitConflictError | None = None
         for attempt in range(conflict_retries + 1):
             if attempt:
@@ -1495,6 +1579,7 @@ class IceboxTable:
                     updates, batch_id, seq_col=seq_col, op_col=op_col,
                     delete_value=delete_value, fence=fence,
                     tombstones=tombstones, ts_col=ts_col, mor=mor,
+                    stage=stage,
                 )
             except CommitConflictError as exc:
                 last_err = exc
@@ -1512,6 +1597,7 @@ class IceboxTable:
         tombstones: bool,
         ts_col: str | None,
         mor: bool | None,
+        stage: str | None = None,
     ) -> dict:
         import time as _time
 
@@ -1685,6 +1771,8 @@ class IceboxTable:
             },
             "summary": {"operation": "merge", **metrics},
         }
+        if stage is not None:
+            return self._stage_delta(stage, delta, metrics)
         committed = self._try_commit(delta)
         if committed is None:
             return {
@@ -1699,3 +1787,176 @@ class IceboxTable:
         metrics["total_bytes"] = sum(e.get("bytes", 0) for e in committed["manifest"])
         metrics["total_rows"] = sum(e["rows"] for e in committed["manifest"])
         return metrics
+
+    # ---------------- write-audit-publish (staged commits) ----------------
+    #
+    # The WAP flow for a quality-gated CDC pipeline: ``merge(...,
+    # stage=<wap_id>)`` writes the batch's data files and parks the
+    # fully-computed commit delta in ``staged-<wap_id>.json`` — no reader
+    # sees it. ``read_staged`` materializes the would-be table state for
+    # audit checks; ``publish_staged`` commits the parked delta through
+    # the normal optimistic-CAS path (disjoint main-branch commits made
+    # in the meantime are rebased past; an overlapping COW rewrite
+    # raises CommitConflictError because the staged rewrite is stale and
+    # must be re-staged; a MOR staged delta is pure-append and commutes).
+    # Exactly-once: the delta carries its batch_id, so a crash between
+    # the publish CAS and the staged-file cleanup replays as a fenced
+    # no-op that just finishes the cleanup. Maps onto Iceberg's classic
+    # ``wap.id`` stage + ``cherrypick_snapshot`` publish.
+
+    @staticmethod
+    def _staged_name(wap_id: str) -> str:
+        return f"staged-{wap_id}.json"
+
+    def staged(self) -> dict[str, dict]:
+        """Parked (write-audit-publish) commits: wap_id → staged info
+        (base snapshot, staged_at, the commit delta, merge metrics)."""
+        out: dict[str, dict] = {}
+        for n in self._store.list_names("staged-"):
+            wap = n[len("staged-"):]
+            if wap.endswith(".json"):
+                wap = wap[: -len(".json")]
+            try:
+                out[wap] = self._read_json(n)
+            except FileNotFoundError:
+                pass  # raced a concurrent publish/abort
+        return out
+
+    def _stage_delta(self, wap_id: str, delta: dict, metrics: dict) -> dict:
+        import time as _time
+
+        payload = {
+            "wap_id": wap_id,
+            "staged_at": _time.time(),
+            "base_snapshot": delta["parent"],
+            "delta": delta,
+            "summary": metrics,
+        }
+        if not self._store.put_if_absent(
+            self._staged_name(wap_id), json.dumps(payload).encode()
+        ):
+            raise ValueError(
+                f"staged commit {wap_id!r} already exists "
+                f"(publish or abort it first, or pick a fresh wap id)"
+            )
+        return {**metrics, "staged": True, "wap_id": wap_id}
+
+    def read_staged(
+        self,
+        wap_id: str,
+        *,
+        with_seq: bool = False,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """The table state that ``publish_staged(wap_id)`` WOULD produce:
+        the staged delta folded onto the CURRENT snapshot — the audit
+        view. (If a conflicting main-branch rewrite lands before publish,
+        publish raises instead of producing this view; disjoint commits
+        fold identically here and at publish time.)"""
+        info = self.staged().get(wap_id)
+        if info is None:
+            raise KeyError(f"no staged commit {wap_id!r}; staged: {sorted(self.staged())}")
+        snap = self._snap
+        synth = self._apply_delta(
+            snap,
+            {
+                **info["delta"],
+                "snapshot_id": snap["snapshot_id"] + 1,
+                "parent": snap["snapshot_id"],
+            },
+        )
+        out = self._resolved(synth, synth["manifest"])
+        if not include_tombstones:
+            out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        return out if with_seq else out.drop(SEQ_COL, DELETED_COL)
+
+    def publish_staged(self, wap_id: str) -> dict:
+        """Atomically commit a staged (WAP) delta onto the current table
+        head. Re-parents past concurrent DISJOINT commits; raises
+        CommitConflictError when a concurrent commit rewrote a staged
+        bucket (the staged COW merge is stale — abort and re-stage).
+        Exactly-once on the staged batch_id: publishing twice, racing
+        another publisher, or resuming after a crash mid-publish all
+        land the delta exactly once and clean up the staged file."""
+        self.refresh()
+        info = self.staged().get(wap_id)
+        if info is None:
+            raise KeyError(f"no staged commit {wap_id!r}; staged: {sorted(self.staged())}")
+        delta = info["delta"]
+        bid = delta.get("batch_id")
+        if bid and bid in self._snap["committed_batches"]:
+            # crash after a successful publish CAS but before cleanup, or
+            # a racing publisher won — finish the cleanup, fenced no-op
+            self._store.delete(self._staged_name(wap_id))
+            return {"wap_id": wap_id, "skipped": True, "reason": "already-committed"}
+        # cherry-pick validation: the staged delta was computed against
+        # base_snapshot — every commit that landed since must COMMUTE with
+        # it (disjoint buckets, or mutual pure-appends). Re-parenting to
+        # the head without this scan would silently publish a COW rewrite
+        # computed against a base that no longer exists. Commits already
+        # folded into a checkpoint can no longer be inspected → raise
+        # conservatively (abort and re-stage).
+        base = int(info.get("base_snapshot", delta["parent"]))
+        for sid in range(base + 1, self._snap["snapshot_id"] + 1):
+            try:
+                mid = self._read_json(self._commit_name(sid))
+            except FileNotFoundError:
+                raise CommitConflictError(
+                    f"staged commit {wap_id!r}: intervening commit {sid} was "
+                    f"checkpointed away by expiration — cannot verify "
+                    f"commutativity; abort_staged and re-stage"
+                )
+            if self._delta_conflicts(delta, mid):
+                raise CommitConflictError(
+                    f"staged commit {wap_id!r} (base {base}) conflicts with "
+                    f"intervening commit {sid} "
+                    f"(op={mid.get('operation')}, overlapping buckets or "
+                    f"schema change) — abort_staged and re-stage against "
+                    f"the current base"
+                )
+        committed = self._try_commit({**delta, "parent": self._snap["snapshot_id"]})
+        self._store.delete(self._staged_name(wap_id))
+        if committed is None:
+            return {
+                "wap_id": wap_id,
+                "skipped": True,
+                "reason": "already-committed-concurrently",
+            }
+        return {
+            **info.get("summary", {}),
+            "wap_id": wap_id,
+            "skipped": False,
+            "published_snapshot": committed["snapshot_id"],
+            "total_rows": sum(e["rows"] for e in committed["manifest"]),
+        }
+
+    def abort_staged(self, wap_id: str, *, delete_files: bool = True) -> dict:
+        """Drop a staged commit: its delta never becomes visible. With
+        ``delete_files`` the parked data files are removed immediately
+        (they are otherwise exempt from the orphan sweep while staged)."""
+        info = self.staged().get(wap_id)
+        if info is None:
+            raise KeyError(f"no staged commit {wap_id!r}; staged: {sorted(self.staged())}")
+        deleted = 0
+        if delete_files:
+            import shutil
+
+            dirs = set()
+            for e in info["delta"].get("added", []):
+                fpath = os.path.join(self.path, e["path"])
+                dirs.add(os.path.dirname(os.path.dirname(fpath)))
+                try:
+                    os.remove(fpath)
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+            for d in dirs:
+                # the commit dir is exclusively this staged write's output
+                if os.path.isdir(d) and not any(
+                    f.endswith(".parquet")
+                    for _, _, fs in os.walk(d)
+                    for f in fs
+                ):
+                    shutil.rmtree(d, ignore_errors=True)
+        self._store.delete(self._staged_name(wap_id))
+        return {"wap_id": wap_id, "deleted_files": deleted}
