@@ -11,7 +11,9 @@ records at most 50 queries (CORRECTNESS_r04 had 50 rows for 51 entries,
 truncated in dict order). Keep ``queries()`` at ≤ 50 entries so every one
 is checked; retired keys stay covered by pytest and by subsuming queries
 (a3_distinct_union ⊂ l3/j1 semantics, multimodal_meta ⊂
-multimodal_features' doc_id+n_bytes projection).
+multimodal_features' doc_id+n_bytes projection, a4_page_math's ceil
+arithmetic and c5_array_join's golden pinned in pytest — see
+tests/test_decontam.py and tests/test_coerce.py).
 
 Cross-engine determinism rules used throughout:
   * no raw timestamps in outputs (rendered to strings)
@@ -587,6 +589,30 @@ def q_text_fingerprint(spark, sf_dir):
     return with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (decontam.contamination_scan): every doc
+    sharing at least one word 4-gram with the held-out benchmark slice
+    (doc_id % 41 == 0), with hit and total distinct-gram counts. n=4 is
+    the discriminative gram length for the synthetic corpus's vocabulary
+    (n=8 production default finds nothing here; n=3 flags over half)."""
+    from sparkcdc.decontam import contamination_scan
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 41 == 0)
+    rest = d.where(F.col("doc_id") % 41 != 0)
+    return contamination_scan(rest, bench, n=4)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Fixed-length training-sequence packing (packing.pack_documents):
+    the corpus's whitespace token stream in doc_id order, concat-and-split
+    into 256-token chunks; emits the packed chunk as a joined token_str
+    (portable cross-engine value compare) + token/doc counts."""
+    from sparkcdc.packing import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), 256)
+
+
 def q_dedup_exact(spark, sf_dir):
     from sparkcdc.dedupe_docs import exact_dedupe
 
@@ -773,7 +799,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_null_on_missing": q_p5_null_on_missing,
         "f1_flatten_props": q_f1_flatten_props,
         "a1_count_aggregate": q_a1_count_aggregate,
-        "a4_page_math": q_a4_page_math,
         "l1_topk_orders": q_l1_topk_orders,
         "l3_sorted_distinct": q_l3_sorted_distinct,
         "j1_union_by_name": q_j1_union_by_name,
@@ -794,12 +819,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_tumbling_window": q_t8_tumbling_window,
         "c1_try_casts": q_c1_try_casts,
         "c4_timestamp_parse": q_c4_timestamp_parse,
-        "c5_array_join": q_c5_array_join,
         "c6_json_coerce": q_c6_json_coerce,
         "text_token_counts": q_text_token_counts,
         "text_lang_guess": q_text_lang_guess,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_decontaminate": q_text_decontaminate,
+        "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "cdc_wap_publish": q_cdc_wap_publish,
@@ -995,10 +1021,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
-        "a4_page_math": """
-            SELECT event_type, CAST(CEIL(COUNT(*) / 50.0) AS BIGINT) AS total_pages
-            FROM events GROUP BY event_type
-        """,
         "l1_topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -1147,11 +1169,6 @@ def oracle_sql() -> dict[str, str]:
                        '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d') AS parsed_day
             FROM orders
         """,
-        "c5_array_join": """
-            SELECT doc_id,
-                   array_to_string(list_slice(string_split(text, ' '), 1, 5), ',') AS first5
-            FROM documents
-        """,
         "c6_json_coerce": """
             SELECT event_id,
                    to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS obj_str,
@@ -1177,6 +1194,42 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "text_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+3], ' ') AS gram
+              FROM toks, unnest(range(1, len(t) - 4 + 2)) AS i(i)
+              WHERE len(t) >= 4
+            ), bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0
+            ), dg AS (
+              SELECT doc_id, gram FROM grams WHERE doc_id % 41 <> 0
+            ), totals AS (
+              SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id
+            )
+            SELECT dg.doc_id, COUNT(*) AS n_hits, ANY_VALUE(t.n_grams) AS n_grams
+            FROM dg JOIN bench USING (gram) JOIN totals t ON t.doc_id = dg.doc_id
+            GROUP BY dg.doc_id
+        """,
+        "pack_sequences": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), docs AS (
+              SELECT doc_id, t, len(t) AS n,
+                     sum(len(t)) OVER (ORDER BY doc_id) - len(t) AS off
+              FROM toks
+            ), pieces AS (
+              SELECT CAST(floor((off + g.i) / 256) AS BIGINT) AS seq_id,
+                     off + g.i AS gpos, t[g.i + 1] AS tok, doc_id
+              FROM docs, unnest(range(0, n)) AS g(i)
+              WHERE n > 0
+            )
+            SELECT seq_id,
+                   array_to_string(list(tok ORDER BY gpos), ' ') AS token_str,
+                   COUNT(*) AS n_tok, COUNT(DISTINCT doc_id) AS n_docs
+            FROM pieces GROUP BY seq_id
         """,
         "dedup_exact": """
             SELECT md5(norm_text) AS text_hash,

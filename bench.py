@@ -224,6 +224,8 @@ def main() -> int:
         "text_pipeline": "text_quality",
         "fingerprint": "text_fingerprint",
         "multimodal": "multimodal_features",
+        "decontam_scan": "text_decontaminate",
+        "pack_sequences": "pack_sequences",
     }
     qs = entrymod.queries()
     for label, qname in bench_queries.items():
