@@ -13,7 +13,11 @@ is checked; retired keys stay covered by pytest and by subsuming queries
 (a3_distinct_union ⊂ l3/j1 semantics, multimodal_meta ⊂
 multimodal_features' doc_id+n_bytes projection, a4_page_math's ceil
 arithmetic and c5_array_join's golden pinned in pytest — see
-tests/test_decontam.py and tests/test_coerce.py).
+tests/test_decontam.py and tests/test_coerce.py; round-5 late
+retirements: p4_column_pruning's ReadSchema pinned in
+tests/test_plans.py, a1_count_aggregate ⊂ s3/l3/t8 native group-count
+shapes, c6_json_coerce's struct→JSON goldens pinned in
+tests/test_coerce.py).
 
 Cross-engine determinism rules used throughout:
   * no raw timestamps in outputs (rendered to strings)
@@ -589,6 +593,54 @@ def q_text_fingerprint(spark, sf_dir):
     return with_fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filter (textops.with_repetition):
+    duplicate-word fraction, top-word fraction, top-bigram coverage and
+    the keep/drop decision — all per-row array lambdas, zero shuffle."""
+    from sparkcdc.textops import with_repetition
+
+    return with_repetition(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "dup_word_frac", "top_word_frac", "top_bigram_frac", "repetition_keep"
+    )
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII redaction (textops.with_pii_redacted) over synthetic PII planted
+    deterministically from doc_id (the corpus itself is PII-free, so the
+    gate builds email/IP/phone rows in BOTH engines from the same
+    arithmetic, then redacts on the Spark side only via the operator)."""
+    from sparkcdc.textops import with_pii_redacted
+
+    d = _t(spark, sf_dir, "documents")
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" u"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org ip 10."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel +"), (100 + F.col("doc_id") % 900).cast("string"),
+            F.lit("-555-"), (1000 + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return with_pii_redacted(pii).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+def q_mix_sample_split(spark, sf_dir):
+    """Deterministic data-mix sampling + train/val split (mix.py): sources
+    src0/src1/src2 sampled at 1.0/0.5/0.25 (others dropped), survivors
+    split 20% val by an independent seed. Pure md5-hash predicates —
+    reproducible on any cluster shape, pushed into the scan."""
+    from sparkcdc.mix import sample_by_rates, with_split
+
+    d = _t(spark, sf_dir, "documents")
+    kept = sample_by_rates(d, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, seed="mix")
+    return with_split(kept, val_frac=0.2, seed="split").select("doc_id", "source", "split")
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination (decontam.contamination_scan): every doc
     sharing at least one word 4-gram with the held-out benchmark slice
@@ -795,10 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_fields_merge": q_s5_fields_merge,
         "s8_preview_limit": q_s8_preview_limit,
         "p2_filter_pushdown": q_p2_filter_pushdown,
-        "p4_column_pruning": q_p4_column_pruning,
         "p5_null_on_missing": q_p5_null_on_missing,
         "f1_flatten_props": q_f1_flatten_props,
-        "a1_count_aggregate": q_a1_count_aggregate,
         "l1_topk_orders": q_l1_topk_orders,
         "l3_sorted_distinct": q_l3_sorted_distinct,
         "j1_union_by_name": q_j1_union_by_name,
@@ -819,11 +869,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_tumbling_window": q_t8_tumbling_window,
         "c1_try_casts": q_c1_try_casts,
         "c4_timestamp_parse": q_c4_timestamp_parse,
-        "c6_json_coerce": q_c6_json_coerce,
         "text_token_counts": q_text_token_counts,
         "text_lang_guess": q_text_lang_guess,
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii_redact": q_text_pii_redact,
+        "mix_sample_split": q_mix_sample_split,
         "text_decontaminate": q_text_decontaminate,
         "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
@@ -847,7 +899,13 @@ def oracle_sql() -> dict[str, str]:
     from sparkcdc.ann import fixed_centroids, lsh_planes
     from sparkcdc.dedupe_docs import LSH_BANDS, MINHASH_K
     from sparkcdc.multimodal import FEATURE_DIM
-    from sparkcdc.textops import BPE_RE, STOPWORDS
+    from sparkcdc.textops import (
+        BPE_RE,
+        PII_PATTERNS,
+        REPETITION_MAX_TOP_BIGRAM_FRAC,
+        REPETITION_MAX_TOP_WORD_FRAC,
+        STOPWORDS,
+    )
 
     def occ_sql(word: str) -> str:
         """Stopword-occurrence count — the same length-difference trick as
@@ -1008,7 +1066,6 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.05
         """,
-        "p4_column_pruning": "SELECT p_partkey, p_name FROM part WHERE p_size >= 30",
         "p5_null_on_missing": """
             SELECT COUNT(*) AS n_total,
                    COUNT(json_extract_string(props, '$.missing.path')) AS n_present
@@ -1016,10 +1073,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "f1_flatten_props": """
             SELECT event_id, json_extract_string(props, '$.k') AS "props.k" FROM events
-        """,
-        "a1_count_aggregate": """
-            SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
-            FROM events GROUP BY event_type
         """,
         "l1_topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
@@ -1169,12 +1222,6 @@ def oracle_sql() -> dict[str, str]:
                        '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d') AS parsed_day
             FROM orders
         """,
-        "c6_json_coerce": """
-            SELECT event_id,
-                   to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS obj_str,
-                   to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS obj_json
-            FROM events
-        """,
         "text_token_counts": f"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
@@ -1194,6 +1241,65 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "text_repetition": f"""
+            WITH w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+            ), b AS (
+              SELECT doc_id, ws,
+                CASE WHEN len(ws) >= 2
+                     THEN list_transform(generate_series(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i + 1])
+                     ELSE []::VARCHAR[] END AS bg
+              FROM w
+            ), m AS (
+              SELECT doc_id,
+                (len(ws) - len(list_distinct(ws))) * 1.0 / len(ws) AS dup_word_frac,
+                list_max(list_transform(list_distinct(ws),
+                         u -> len(list_filter(ws, x -> x = u)))) * 1.0 / len(ws) AS top_word_frac,
+                COALESCE(list_max(list_transform(list_distinct(bg),
+                         u2 -> len(list_filter(bg, y -> y = u2)))), 0) * 2.0 / len(ws) AS top_bigram_frac
+              FROM b
+            )
+            SELECT doc_id, dup_word_frac, top_word_frac, top_bigram_frac,
+                   (top_word_frac <= {REPETITION_MAX_TOP_WORD_FRAC}
+                    AND top_bigram_frac <= {REPETITION_MAX_TOP_BIGRAM_FRAC}) AS repetition_keep
+            FROM m
+        """,
+        "text_pii_redact": f"""
+            WITH pii AS (
+              SELECT doc_id,
+                substr(text, 1, 40) || ' u' || CAST(doc_id AS VARCHAR)
+                  || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.org ip 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                  || ' tel +' || CAST(100 + doc_id % 900 AS VARCHAR)
+                  || '-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(t, '{PII_PATTERNS[0][1]}')) AS n_email,
+              len(regexp_extract_all(t, '{PII_PATTERNS[1][1]}')) AS n_ipv4,
+              len(regexp_extract_all(t, '{PII_PATTERNS[2][1]}')) AS n_phone,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                  '{PII_PATTERNS[0][1]}', '{PII_PATTERNS[0][2]}', 'g'),
+                  '{PII_PATTERNS[1][1]}', '{PII_PATTERNS[1][2]}', 'g'),
+                  '{PII_PATTERNS[2][1]}', '{PII_PATTERNS[2][2]}', 'g') AS text_redacted
+            FROM pii
+        """,
+        "mix_sample_split": """
+            WITH kept AS (
+              SELECT doc_id, source FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
+                    CASE source WHEN 'src0' THEN 'g'
+                                WHEN 'src1' THEN '80000000'
+                                WHEN 'src2' THEN '40000000'
+                                ELSE '00000000' END
+            )
+            SELECT doc_id, source,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) < '33333333'
+                   THEN 'val' ELSE 'train' END AS split
+            FROM kept
         """,
         "text_decontaminate": """
             WITH toks AS (

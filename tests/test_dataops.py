@@ -566,3 +566,119 @@ def test_near_dup_clusters_reliable_checkpoint(spark, tmp_path):
     # carries none of the iterated join tree above it
     plan = reliable_df._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan and "Join" not in plan
+
+
+def test_repetition_metrics_golden(spark):
+    """Hand-computed repetition metrics. Bigram coverage counts OVERLAPPING
+    occurrences (2·max_count/n), so a fully degenerate doc can exceed 1.0 —
+    the filter only needs monotonicity in repetition, not a true cover."""
+    from sparkcdc.textops import with_repetition
+
+    rows = [
+        (1, "a a a a"),          # 1 distinct word; bigram 'a a' ×3
+        (2, "w x y z"),          # all distinct, all bigrams distinct
+        (3, "one"),              # single word: no bigrams
+        (4, "p q p q p"),        # 'p q'×2, 'q p'×2 overlapping
+    ]
+    out = {
+        r.doc_id: r
+        for r in with_repetition(
+            spark.createDataFrame(rows, "doc_id: long, text: string")
+        ).collect()
+    }
+    assert out[1].dup_word_frac == 0.75
+    assert out[1].top_word_frac == 1.0
+    assert out[1].top_bigram_frac == 2 * 3 / 4
+    assert not out[1].repetition_keep
+    assert out[2].dup_word_frac == 0.0
+    assert out[2].top_word_frac == 0.25
+    assert out[2].top_bigram_frac == 2 * 1 / 4
+    assert out[3].top_bigram_frac == 0.0
+    assert out[3].top_word_frac == 1.0
+    assert out[4].dup_word_frac == (5 - 2) / 5
+    assert out[4].top_word_frac == 3 / 5
+    assert out[4].top_bigram_frac == 2 * 2 / 5
+
+
+def test_repetition_plan_has_no_shuffle(docs):
+    """The whole repetition operator must pipeline inside the scan stage:
+    per-row array lambdas only — any Exchange here would be a 100 TB
+    regression (a shuffle keyed on nothing useful)."""
+    from sparkcdc.textops import with_repetition
+
+    plan = (
+        with_repetition(docs)
+        .select("doc_id", "dup_word_frac", "top_word_frac", "top_bigram_frac")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_pii_redaction_goldens(spark):
+    from sparkcdc.textops import with_pii_redacted
+
+    rows = [
+        (1, "mail a@b.org and c.d+x@e-f.co now"),       # two emails
+        (2, "host 10.0.0.1 peer 192.168.255.254"),      # two IPs
+        (3, "call +123-456-7890 or 555 123 4567"),      # two phone forms
+        (4, "no pii here at all"),
+        (5, "u7@ex0.org ip 10.7.0.7 tel +107-555-1007"),  # one of each
+    ]
+    out = {
+        r.doc_id: r
+        for r in with_pii_redacted(
+            spark.createDataFrame(rows, "doc_id: long, text: string")
+        ).collect()
+    }
+    assert (out[1].n_email, out[1].text_redacted) == (2, "mail <EMAIL> and <EMAIL> now")
+    assert (out[2].n_ipv4, out[2].text_redacted) == (2, "host <IP> peer <IP>")
+    assert (out[3].n_phone, out[3].text_redacted) == (2, "call <PHONE> or <PHONE>")
+    assert out[4].text_redacted == "no pii here at all"
+    assert (out[4].n_email, out[4].n_ipv4, out[4].n_phone) == (0, 0, 0)
+    assert out[5].text_redacted == "<EMAIL> ip <IP> tel <PHONE>"
+    # counts are taken BEFORE redaction: the email's digits/dots never
+    # inflate the IP count, and placeholders never match later patterns
+    assert (out[5].n_email, out[5].n_ipv4, out[5].n_phone) == (1, 1, 1)
+
+
+def test_mix_sampling_deterministic_and_partition_invariant(docs):
+    """The sample is a pure function of (key, seed): identical across
+    re-runs AND across arbitrary repartitioning — the property Spark's
+    own df.sample does not give on a changing cluster."""
+    from sparkcdc.mix import sample_by_rates
+
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    a = {r.doc_id for r in sample_by_rates(docs, rates).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in sample_by_rates(docs.repartition(7), rates).select("doc_id").collect()
+    }
+    assert a == b and a
+    # src0 kept wholesale; absent sources dropped wholesale
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    kept = sample_by_rates(docs, rates)
+    assert kept.where(F.col("source") == "src0").count() == n_src0
+    assert kept.where(~F.col("source").isin(*rates)).count() == 0
+
+
+def test_mix_rates_and_split_fractions(spark):
+    """At 4k keys the empirical rates concentrate near the configured ones
+    (md5 uniformity), and the split draw is independent of the sample draw."""
+    from sparkcdc.mix import sample_by_rates, with_split
+
+    d = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    kept = sample_by_rates(d, {"src0": 0.5, "src1": 0.25})
+    n0 = kept.where(F.col("source") == "src0").count()
+    n1 = kept.where(F.col("source") == "src1").count()
+    assert abs(n0 / 2000 - 0.5) < 0.05 and abs(n1 / 2000 - 0.25) < 0.05
+    split = with_split(kept, val_frac=0.2)
+    frac_val = split.where(F.col("split") == "val").count() / (n0 + n1)
+    assert abs(frac_val - 0.2) < 0.05
+    # stability under corpus growth: assignments on a subset are the
+    # restriction of assignments on the full set
+    sub = with_split(kept.where(F.col("doc_id") < 1000), val_frac=0.2)
+    full = {r.doc_id: r.split for r in split.collect()}
+    assert all(full[r.doc_id] == r.split for r in sub.collect())
