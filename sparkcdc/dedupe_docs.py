@@ -352,13 +352,31 @@ def simhash_near_pairs(
         h = df.select("doc_id", simhash64(F.col(text_col)).alias("sim"))
     else:
         raise ValueError(f"hash_family must be 'native' or 'md5', got {hash_family!r}")
-    # band the bits into (idx, value) chunks — both must match to be a candidate
-    chunks = h.select(
+    return simhash_chunk_pairs(h, max_hamming=max_hamming, max_chunk=max_chunk)
+
+
+def sim_chunks(h: DataFrame) -> DataFrame:
+    """Band a ``(doc_id, sim)`` frame's 64 bits into 4×16-bit chunks —
+    (doc_id, sim, chunk_idx, chunk). Both idx and value must match for
+    two docs to become a candidate pair (pigeonhole over max_hamming)."""
+    return h.select(
         "doc_id", "sim",
         F.posexplode(
             F.array(*[F.shiftright(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
         ).alias("chunk_idx", "chunk"),
     )
+
+
+def simhash_chunk_pairs(
+    h: DataFrame, *, max_hamming: int = 4, max_chunk: int = 0
+) -> DataFrame:
+    """The chunk-band self-join half of ``simhash_near_pairs``, over an
+    already-computed ``(doc_id, sim)`` frame — shared by the recompute
+    path above and the persistent SimhashIndex (which stores sims and
+    must never re-hash the corpus). Cap semantics identical to
+    ``simhash_near_pairs``; callers own the default-cap computation
+    because only they know where a cheap row count comes from."""
+    chunks = sim_chunks(h)
     if max_chunk > 0:
         w = Window.partitionBy("chunk_idx", "chunk").orderBy(
             F.abs(F.xxhash64(F.col("doc_id"))), F.col("doc_id")

@@ -162,7 +162,12 @@ class CDCEngine:
         parquet WAL the high-water LSN comes from footer statistics (no
         scan, no Spark job — a fixed driver cost per run instead of a
         full-column scan that grows with the log)."""
-        last = int(self.table.lineage["last_applied_lsn"])
+        # the WAL probe protocol reserves LSN 0 as its empty-log sentinel
+        # (max_seq returns 0 for an empty WAL), so the ENGINE's event LSNs
+        # are ≥ 1 and planning clamps the fresh-table floor (-1, which the
+        # icebox layer uses so DIRECT merge callers can apply seq=0) up to
+        # the protocol floor — keeping slice grids 0-aligned
+        last = max(int(self.table.lineage["last_applied_lsn"]), 0)
         hi = None
         if self._log_is_parquet_wal:
             from .changelog import max_seq_parquet_stats
@@ -445,7 +450,8 @@ class CDCEngine:
     # ---------------- preview (JiraInputPlugin.java:149-152) ----------------
 
     def preview(self, n: int = PREVIEW_RECORDS_COUNT) -> DataFrame:
-        last = int(self.table.lineage["last_applied_lsn"])
+        # same engine-protocol clamp as _pending_ranges (WAL LSNs ≥ 1)
+        last = max(int(self.table.lineage["last_applied_lsn"]), 0)
         nxt = scan_slice(self.log, last, last + self.cfg.batch_size,
                          seq_col=self.cfg.seq_col)
         return self._project_declared(nxt).orderBy(self.cfg.seq_col).limit(n)

@@ -138,6 +138,12 @@ def _normalize_to(df: DataFrame, target: T.StructType, *, evolved: bool) -> Data
 class IceboxTable:
     """Snapshot-committed, hash-bucketed keyed table."""
 
+    # build per-file key bloom sidecars at write time (bloom.py) so point
+    # lookups skip MOR delta files whose key RANGE covers everything but
+    # that don't hold the key; flip off per handle for write paths where
+    # the extra key-column read is unwanted
+    bloom_keys: bool = True
+
     def __init__(self, spark: SparkSession, path: str, *, store: CommitStore | None = None):
         self.spark = spark
         self.path = os.path.abspath(path)
@@ -147,6 +153,7 @@ class IceboxTable:
         # (conditional PUT, see commitstore.py) slots in without touching
         # the commit protocol
         self._store = store if store is not None else PosixCommitStore(self._meta_dir)
+        self._bloom_cache: dict[str, tuple] = {}  # sidecar relpath -> parsed bloom
         self._snap = self._load_current()
 
     # ---------------- lifecycle ----------------
@@ -179,7 +186,13 @@ class IceboxTable:
             "schema_version": 1,
             "schemas": {"1": schema.json()},
             "manifest": [],
-            "lineage": {"last_applied_lsn": 0, "per_bucket": {}},
+            # -1 = "nothing applied yet": the exactly-once fence is the
+            # STRICT seq > last_applied_lsn, and LSN 0 is a valid event
+            # sequence number — a floor of 0 would silently swallow it on a
+            # fresh table (found by driving a seq=doc_id batch with id 0).
+            # Valid LSNs are assumed ≥ 0; tables created before this change
+            # persist a 0 floor and so assume LSNs ≥ 1.
+            "lineage": {"last_applied_lsn": -1, "per_bucket": {}},
             "summary": {"operation": "create", "total_rows": 0},
         }
         cls._write_checkpoint(store, snap)
@@ -821,6 +834,34 @@ class IceboxTable:
                 out.append(e)
         return out
 
+    def _bloom_prune(self, entries: list[dict], keys: list) -> list[dict]:
+        """Second point-lookup pruning stage, after bucket + range pruning:
+        drop entries whose key bloom sidecar (bloom.py) rules out every
+        requested key. This is what actually skips MOR delta stacks —
+        hash-scattered delta files all pass the RANGE check but only the
+        one or two holding the key pass the bloom. Entries without a
+        sidecar (legacy manifests, bloom_keys=False writers) or whose
+        sidecar is missing/corrupt are kept — blooms only ever skip work,
+        never rows."""
+        from . import bloom as _bloom
+
+        out = []
+        for e in entries:
+            rel = e.get("bloom")
+            if not rel:
+                out.append(e)
+                continue
+            bf = self._bloom_cache.get(rel)
+            if bf is None:
+                bf = _bloom.load(os.path.join(self.path, rel))
+                if bf is None:
+                    out.append(e)  # degraded sidecar: keep, don't cache
+                    continue
+                self._bloom_cache[rel] = bf
+            if any(_bloom.might_contain(bf, k) for k in keys):
+                out.append(e)
+        return out
+
     def read_keys(self, keys: list, *, with_seq: bool = False) -> DataFrame:
         """Point lookups with manifest-level bucket pruning: hash the
         requested keys driver-side (same function as the write layout), read
@@ -841,8 +882,11 @@ class IceboxTable:
             int(r["b"])
             for r in kdf.select(bucket_expr(self.key, nb).alias("b")).collect()
         }
-        entries = self._entries_for_keys(
-            [e for e in snap["manifest"] if e["bucket"] in buckets], keys
+        entries = self._bloom_prune(
+            self._entries_for_keys(
+                [e for e in snap["manifest"] if e["bucket"] in buckets], keys
+            ),
+            keys,
         )
         out = self._resolved(snap, entries, where=F.col(self.key).isin(list(keys)))
         out = out.where(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
@@ -1091,10 +1135,12 @@ class IceboxTable:
         }
         dead = {e["path"] for s in dropped for e in s["manifest"]} - live
         for rel in dead:
-            try:
-                os.remove(os.path.join(self.path, rel))
-            except FileNotFoundError:
-                pass
+            for p in (os.path.join(self.path, rel),
+                      os.path.join(self.path, rel) + ".bloom"):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
         if dropped:
             # new history floor must be a checkpoint for the fold to start at
             self._write_checkpoint(self._store, kept[0])
@@ -1123,6 +1169,21 @@ class IceboxTable:
                     if now - os.path.getmtime(fpath) < orphan_grace_sec:
                         continue
                     os.remove(fpath)
+                    orphans += 1
+                except FileNotFoundError:
+                    pass
+            # a bloom sidecar is referenced iff its data file is: sweep the
+            # ones whose .parquet is not live (same age gate; a live bloom
+            # is never older than its just-written data file by more than
+            # the write itself)
+            for bpath in glob.glob(os.path.join(self.path, "data", "c*", "**",
+                                                "*.parquet.bloom"), recursive=True):
+                if os.path.relpath(bpath[: -len(".bloom")], self.path) in live:
+                    continue
+                try:
+                    if now - os.path.getmtime(bpath) < orphan_grace_sec:
+                        continue
+                    os.remove(bpath)
                     orphans += 1
                 except FileNotFoundError:
                     pass
@@ -1224,7 +1285,8 @@ class IceboxTable:
         ]
 
         def entry(fpath: str) -> dict:
-            md = pq.ParquetFile(fpath).metadata
+            pf = pq.ParquetFile(fpath)
+            md = pf.metadata
             e = {
                 "path": os.path.relpath(fpath, self.path),
                 "bucket": int(fpath.split("_bucket=")[1].split(os.sep)[0]),
@@ -1239,6 +1301,16 @@ class IceboxTable:
             sr = self._col_min_max(md, SEQ_COL)
             if sr is not None:
                 e["seq_max"] = sr[1]
+            if self.bloom_keys:
+                # per-file key bloom sidecar (see bloom.py): one extra read
+                # of the key COLUMN of a file this writer just produced —
+                # O(this commit's own output), driver-threaded with the
+                # footer parsing, never a Spark job
+                from . import bloom as _bloom
+
+                kcol = pf.read(columns=[key]).column(key).to_pylist()
+                _bloom.write_sidecar(fpath, _bloom.build(kcol, md.num_rows))
+                e["bloom"] = e["path"] + ".bloom"
             cs = {}
             for c in stat_cols:
                 r = self._col_min_max(md, c)

@@ -44,10 +44,14 @@ from .dedupe_docs import (
     banded_pairs,
     cap_hot_bands,
     minhash_signatures,
+    sim_chunks,
+    simhash64_native,
+    simhash_chunk_pairs,
 )
 from .icebox import IceboxTable
 
 _META_NAME = "sigindex.json"
+_SIM_META_NAME = "simindex.json"
 
 
 def _index_schema(k: int, key_type: T.DataType) -> T.StructType:
@@ -281,6 +285,143 @@ class SignatureIndex(IncrementalIndex):
             ib.join(F.broadcast(nb), ["band", "band_key"])
             .where(F.col("doc_id") != F.col("new_id"))
             .select("new_id", F.col("doc_id").alias("indexed_id"))
+            .distinct()
+        )
+
+
+class SimhashIndex(IncrementalIndex):
+    """Persistent 64-bit SimHash index over a document corpus — the simhash
+    analog of :class:`SignatureIndex`, one narrow ``(doc_id, sim:long)``
+    row per doc, maintained incrementally from the doc table's change feed
+    via the shared :class:`IncrementalIndex` machinery (consumer-pinned
+    window, exactly-once MERGE, unrepresentable-row removal).
+
+    The stored family is the NATIVE one (``simhash64_native``: xxhash64
+    tokens, JVM bit-vote — no Python per row), so index maintenance stays
+    whole-stage-codegen'd; sims are not comparable to the md5 oracle
+    family. A null-text doc has no sim and is removed from the index; a
+    token-less doc stores the all-zero-vote sentinel (-2^63), matching the
+    recompute path's conventions. Chunk banding is DERIVED at read time
+    (a projection), mirroring SignatureIndex's derived band keys — the
+    index never stores band layout."""
+
+    def __init__(self, spark: SparkSession, table: IceboxTable):
+        self.spark = spark
+        self.table = table
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        n_buckets: int = 16,
+        key_type: T.DataType = T.StringType(),
+        store: CommitStore | None = None,
+    ) -> "SimhashIndex":
+        schema = T.StructType(
+            [T.StructField("doc_id", key_type), T.StructField("sim", T.LongType())]
+        )
+        table = IceboxTable.create(
+            spark, path, schema, key="doc_id", n_buckets=n_buckets, store=store
+        )
+        table._store.put(_SIM_META_NAME, json.dumps({"family": "native"}).encode())
+        return cls(spark, table)
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str, *, store: CommitStore | None = None
+    ) -> "SimhashIndex":
+        table = IceboxTable.load(spark, path, store=store)
+        json.loads(table._store.get(_SIM_META_NAME))  # existence = format check
+        return cls(spark, table)
+
+    # ---------------- incremental maintenance ----------------
+
+    def refresh_from(
+        self,
+        doc_table: IceboxTable,
+        *,
+        consumer: str = "simindex",
+        text_col: str = "text",
+    ) -> dict:
+        """Fold the doc table's changes since the last sync into the index:
+        O(changed docs) hashing + O(touched buckets) MERGE, exactly-once
+        under crash/replay (same contract as SignatureIndex.refresh_from)."""
+        return self._refresh(
+            doc_table,
+            consumer=consumer,
+            derive=lambda ups: simhash64_native(ups, text_col=text_col).where(
+                F.col("sim").isNotNull()
+            ),
+        )
+
+    # ---------------- query ----------------
+
+    def sims(self) -> DataFrame:
+        """Current (doc_id, sim) — identical to ``simhash64_native`` over
+        the live corpus state (handle refreshed so racing maintainers'
+        commits are visible)."""
+        self.table.refresh()
+        return self.table.read()
+
+    def pairs(self, *, max_hamming: int = 4, max_chunk: int | None = None) -> DataFrame:
+        """All near-dup pairs (hamming ≤ max_hamming) from the stored sims —
+        equals ``simhash_near_pairs`` over the current corpus with ZERO
+        re-hashing. Default hot-chunk cap sized from a zero-job row count
+        of the index itself."""
+        from .ann import _cap_row_count, default_bucket_cap
+
+        sims = self.sims()
+        if max_chunk is None:
+            max_chunk = default_bucket_cap(_cap_row_count(sims, None), 65536)
+        return simhash_chunk_pairs(sims, max_hamming=max_hamming, max_chunk=max_chunk)
+
+    def probe(
+        self,
+        new_docs: DataFrame,
+        *,
+        text_col: str = "text",
+        max_hamming: int = 4,
+        max_chunk: int | None = None,
+    ) -> DataFrame:
+        """Near-dup pairs between a NEW batch and the indexed corpus:
+        ``(new_id, indexed_id, hamming)`` with hamming ≤ max_hamming.
+
+        Ingest-time scale shape, same as SignatureIndex.probe: simhash runs
+        over the batch only, the batch's chunk rows are BROADCAST, and the
+        index is scanned once with no shuffle. Docs already indexed match
+        themselves; the self-pair is filtered."""
+        from .ann import _cap_row_count, default_bucket_cap
+
+        nsim = simhash64_native(new_docs, text_col=text_col).where(
+            F.col("sim").isNotNull()
+        )
+        nb = sim_chunks(nsim).select(
+            F.col("doc_id").alias("new_id"), F.col("sim").alias("nsim"),
+            "chunk_idx", "chunk",
+        )
+        sims = self.sims()
+        if max_chunk is None:
+            max_chunk = default_bucket_cap(_cap_row_count(sims, None), 65536)
+        ib = sim_chunks(sims)
+        if max_chunk > 0:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("chunk_idx", "chunk").orderBy(
+                F.abs(F.xxhash64(F.col("doc_id"))), F.col("doc_id")
+            )
+            ib = (
+                ib.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= max_chunk)
+                .drop("_rn")
+            )
+        ham = F.bit_count(F.col("sim").bitwiseXOR(F.col("nsim")))
+        return (
+            ib.join(F.broadcast(nb), ["chunk_idx", "chunk"])
+            .where(F.col("doc_id") != F.col("new_id"))
+            .select("new_id", F.col("doc_id").alias("indexed_id"), ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
             .distinct()
         )
 

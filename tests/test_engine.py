@@ -106,7 +106,7 @@ def test_preview_commits_nothing(spark, tmp_path):
     eng = CDCEngine(spark, cfg)
     prev = eng.preview().collect()
     assert len(prev) == 10 and [r["seq"] for r in prev] == list(range(1, 11))
-    assert eng.table.lineage["last_applied_lsn"] == 0
+    assert eng.table.lineage["last_applied_lsn"] == -1  # nothing applied
     assert eng.read_table().count() == 0
 
 

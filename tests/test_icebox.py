@@ -63,6 +63,26 @@ def test_multi_batch_replay_and_idempotency(spark, table):
     assert lin["per_bucket"] and all(v <= 5_000 for v in lin["per_bucket"].values())
 
 
+def test_fence_admits_lsn_zero_on_fresh_table(spark, table):
+    """Regression: LSN 0 is a valid sequence number. The fresh-table fence
+    floor is -1 ("nothing applied"), so a first batch whose lowest event
+    carries seq=0 must land in full — the old floor of 0 silently swallowed
+    that event. Replay of the same seqs stays fenced afterwards."""
+    rows = [("d0", [0], 1, "s", 0, "upsert"), ("d1", [1], 1, "s", 1, "upsert")]
+    batch = spark.createDataFrame(
+        rows, "doc_id: string, tokens: array<int>, n_tok: int, source: string,"
+        " seq: long, op: string"
+    )
+    assert table.lineage["last_applied_lsn"] == -1
+    m = table.merge(batch, "b0")
+    assert m["applied_events"] == 2
+    assert {r.doc_id for r in table.read().collect()} == {"d0", "d1"}
+    assert table.lineage["last_applied_lsn"] == 1
+    # duplicate delivery under a new batch id: both events now ≤ the fence
+    m2 = table.merge(batch, "b0-echo")
+    assert m2["applied_events"] == 0
+
+
 def test_fence_drops_already_applied_events(spark, table):
     log = generate_changelog(spark, 2_000, 200, seed=5)
     table.merge(scan_slice(log, 0, 2_000), "b1")

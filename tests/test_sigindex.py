@@ -435,3 +435,115 @@ def test_gated_ingest_distributed_fallback_matches_point_reads(
         )
     assert results["point"] == results["scan"]
     assert results["point"][0] == 6
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def test_simhash_index_incremental_equals_recompute(spark, tmp_path, doc_table):
+    """Batch-incremental SimhashIndex maintenance converges to exactly
+    simhash64_native over the final corpus, through inserts, updates,
+    deletes, and a doc edited to null text (removed as unrepresentable)."""
+    from sparkcdc.dedupe_docs import simhash64_native
+    from sparkcdc.sigindex import SimhashIndex
+
+    docs = _docs(spark)
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    idx = SimhashIndex.create(
+        spark, str(tmp_path / "sim"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(half_a), "b1")
+    m1 = idx.refresh_from(doc_table)
+    assert not m1.get("skipped")
+
+    updates = (
+        half_a.orderBy("doc_id").limit(8)
+        .select("doc_id", F.concat(F.lit("fresh unseen vocabulary "),
+                                   F.col("text")).alias("text"), "lang")
+    )
+    nulled = spark.createDataFrame(
+        [(int(half_a.orderBy(F.desc("doc_id")).first().doc_id), None, "en")], DOC_SCHEMA
+    )
+    deletes = half_a.orderBy("doc_id").limit(20).orderBy(F.desc("doc_id")).limit(4)
+    doc_table.merge(
+        _as_log(half_b, seq_base=100_000)
+        .unionByName(_as_log(updates, seq_base=200_000))
+        .unionByName(_as_log(nulled, seq_base=250_000))
+        .unionByName(_as_log(deletes, op="delete", seq_base=300_000)),
+        "b2",
+    )
+    m2 = idx.refresh_from(doc_table)
+    assert not m2.get("skipped")
+    got = _sorted_rows(idx.sims())
+    # null-text docs have no sim and are REMOVED from the index (the
+    # recompute path surfaces them as sim=None instead)
+    expect = _sorted_rows(
+        simhash64_native(doc_table.read()).where(F.col("sim").isNotNull())
+    )
+    assert got == expect
+    # idempotent: nothing new to fold
+    assert idx.refresh_from(doc_table).get("skipped")
+
+
+def test_simhash_index_pairs_and_probe_match_recompute(spark, tmp_path, doc_table):
+    """pairs() == simhash_near_pairs over the live corpus (zero re-hash);
+    probe(batch) == exactly the cross pairs of the full recompute."""
+    from sparkcdc.dedupe_docs import simhash_near_pairs
+    from sparkcdc.sigindex import SimhashIndex
+
+    docs = _docs(spark)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    # batch = light edits of corpus docs → guaranteed near-dups
+    batch = (
+        corpus.where(F.col("doc_id") % 3 == 1)
+        .select((F.col("doc_id") + 10_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tailword")).alias("text"), "lang")
+    )
+    idx = SimhashIndex.create(
+        spark, str(tmp_path / "sim"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(corpus), "b1")
+    idx.refresh_from(doc_table)
+
+    got_pairs = {(r.doc1, r.doc2, r.hamming)
+                 for r in idx.pairs(max_hamming=10, max_chunk=0).collect()}
+    want_pairs = {(r.doc1, r.doc2, r.hamming)
+                  for r in simhash_near_pairs(
+                      doc_table.read(), max_hamming=10, max_chunk=0).collect()}
+    assert got_pairs == want_pairs
+
+    got = {(r.new_id, r.indexed_id, r.hamming)
+           for r in idx.probe(batch, max_hamming=10, max_chunk=0).collect()}
+    assert got, "edited copies must probe as near-dups"
+    ids_c = {r.doc_id for r in corpus.select("doc_id").collect()}
+    full = simhash_near_pairs(
+        doc_table.read().select("doc_id", "text").unionByName(
+            batch.select("doc_id", "text")),
+        max_hamming=10, max_chunk=0,
+    ).collect()
+    expect = {
+        (r.doc2, r.doc1, r.hamming) if r.doc1 in ids_c else (r.doc1, r.doc2, r.hamming)
+        for r in full
+        if (r.doc1 in ids_c) != (r.doc2 in ids_c)
+    }
+    assert got == expect
+
+
+def test_simhash_index_probe_plan_scale_shape(spark, tmp_path, doc_table):
+    """Probe broadcasts the batch and never scans the doc table."""
+    from sparkcdc.sigindex import SimhashIndex
+
+    docs = _docs(spark)
+    idx = SimhashIndex.create(
+        spark, str(tmp_path / "sim"), n_buckets=4, key_type=T.LongType()
+    )
+    doc_table.merge(_as_log(docs), "b1")
+    idx.refresh_from(doc_table)
+    probe = idx.probe(docs.limit(20))
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert doc_table.path not in plan
+    assert "ArrowEvalPython" not in plan  # maintenance AND probe stay native
