@@ -64,7 +64,8 @@ def main(argv: list[str] | None = None) -> int:
                         "pass. SPEC is a check name with optional args, "
                         "e.g. token_invariant, key_unique, "
                         "row_count:min_rows=1,max_shrink_frac=0.5, "
-                        "null_fraction:col=source,max_frac=0.1")
+                        "null_fraction:col=source,max_frac=0.1, "
+                        "token_repetition:max_dup_frac=0.9,max_bad_frac=0")
     p.add_argument("--audit-on-fail", default="abort",
                    choices=["abort", "quarantine"],
                    help="failed-audit policy: abort the run (default) or "

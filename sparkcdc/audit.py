@@ -38,6 +38,7 @@ __all__ = [
     "check_row_count",
     "check_null_fraction",
     "check_token_invariant",
+    "check_token_repetition",
     "check_key_uniqueness",
     "check_lsn_advance",
     "parse_check_specs",
@@ -123,6 +124,44 @@ def check_token_invariant(tokens_col: str = "tokens", n_tok_col: str = "n_tok") 
     return {"name": name, "aggs": [F.count_if(bad).alias(f"_{name}_bad")], "verdict": verdict}
 
 
+def check_token_repetition(
+    tokens_col: str = "tokens",
+    *,
+    max_dup_frac: float = 0.9,
+    max_bad_frac: float = 0.0,
+) -> dict:
+    """Degenerate-sequence gate: a row is BAD when its duplicate-token
+    fraction ``1 - distinct/len`` exceeds ``max_dup_frac`` (an all-padding
+    or stuck-generator sequence); the batch fails when more than
+    ``max_bad_frac`` of the would-be state is bad. The per-row metric is
+    the token-array form of textops.with_repetition's dup_word_frac —
+    pure array expressions folded into the shared single-pass audit agg
+    (null/empty arrays are not counted here; pair with token_invariant
+    to reject those)."""
+    name = "token_repetition"
+    t = F.col(tokens_col)
+    dup = 1.0 - F.size(F.array_distinct(t)) / F.size(t)
+    bad = t.isNotNull() & (F.size(t) > 0) & (dup > max_dup_frac)
+
+    def verdict(row: dict, ctx: dict):
+        n, v = row[f"_{name}_total"], row[f"_{name}_bad"]
+        frac = (v / n) if n else 0.0
+        ok = frac <= max_bad_frac
+        return ok, (
+            f"{v}/{n} rows ({frac:.2%}) exceed dup-token frac "
+            f"{max_dup_frac} vs cap {max_bad_frac:.2%}"
+        )
+
+    return {
+        "name": name,
+        "aggs": [
+            F.count("*").alias(f"_{name}_total"),
+            F.count_if(bad).alias(f"_{name}_bad"),
+        ],
+        "verdict": verdict,
+    }
+
+
 def check_key_uniqueness(key: str | None = None) -> dict:
     """Post-LWW the table must hold one live row per key; a duplicate in
     the audit view means the batch carried conflicting rows the merge
@@ -180,6 +219,7 @@ _CHECK_FACTORIES = {
     "row_count": check_row_count,
     "null_fraction": check_null_fraction,
     "token_invariant": check_token_invariant,
+    "token_repetition": check_token_repetition,
     "key_unique": check_key_uniqueness,
     "lsn_advance": check_lsn_advance,
 }

@@ -524,3 +524,41 @@ def test_cli_bad_audit_spec_fails_with_readable_error(spark, tmp_path, capsys):
     err = [json.loads(l) for l in capsys.readouterr().err.splitlines()
            if l.startswith("{")]
     assert err and "unknown audit check" in err[0]["message"]
+
+
+def test_audit_token_repetition_gates_degenerate_sequences(spark, tmp_path):
+    """token_repetition: a batch whose rows are stuck-generator sequences
+    (one token repeated) fails the gate; a healthy batch passes. The check
+    rides the same single-pass agg as the other data-level checks."""
+    from sparkcdc.audit import check_token_repetition, wap_ingest
+
+    tbl = make_table(tmp_path, spark, "rep")
+    healthy = spark.createDataFrame(
+        [(f"h{i}", list(range(20)), 20, "s", i + 1, "upsert") for i in range(30)],
+        "doc_id: string, tokens: array<int>, n_tok: int, source: string,"
+        " seq: long, op: string",
+    )
+    ok = wap_ingest(
+        tbl, healthy, "good",
+        checks=[check_token_repetition(max_dup_frac=0.8, max_bad_frac=0.1)],
+    )
+    assert not ok.get("skipped") and ok["audit"]["results"]["token_repetition"]["ok"]
+
+    degenerate = spark.createDataFrame(
+        [(f"d{i}", [7] * 32, 32, "s", 100 + i, "upsert") for i in range(30)],
+        "doc_id: string, tokens: array<int>, n_tok: int, source: string,"
+        " seq: long, op: string",
+    )
+    res = wap_ingest(
+        tbl, degenerate, "stuck",
+        checks=[check_token_repetition(max_dup_frac=0.8, max_bad_frac=0.1)],
+    )
+    assert res["skipped"] and res["reason"] == "audit-failed"
+    assert not res["audit"]["results"]["token_repetition"]["ok"]
+    # the failed batch never became visible
+    assert tbl.read().where(F.col("doc_id").startswith("d")).count() == 0
+    # config-spec surface parses the new check (string form, validated)
+    from sparkcdc.audit import build_checks
+
+    built = build_checks(["token_repetition:max_dup_frac=0.5,max_bad_frac=0.0"])
+    assert built[0]["name"] == "token_repetition"
