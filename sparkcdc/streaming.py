@@ -71,6 +71,20 @@ def run_streaming(
             )
             if n_delta > cfg.compact_delta_files:
                 engine.metrics.emit({"kind": "compact", **engine.table.compact()})
+        if engine.sigindex is not None:
+            # continuous dedup-index maintenance, streaming form: same
+            # O(batch) change-feed fold as the batch engine loop — the
+            # stream's checkpoint replays are already fenced, and a
+            # replayed epoch's refresh is a (from,to)-identical no-op
+            ref = engine.sigindex.refresh_from(
+                engine.table, text_col=cfg.sigindex_text_col
+            )
+            engine.metrics.emit({
+                "kind": "index-refresh",
+                "from_snapshot": ref.get("from_snapshot"),
+                "to_snapshot": ref.get("to_snapshot"),
+                "applied_events": ref.get("applied_events", 0),
+            })
 
     stream = (
         spark.readStream.schema(static.schema)

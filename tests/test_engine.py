@@ -1153,3 +1153,50 @@ def test_engine_maintains_sigindex_continuously(spark, tmp_path):
                     sigindex_path=str(tmp_path / "sidx2"))
     with pytest.raises(ConfigError, match="sigindex_text_col"):
         CDCEngine(spark, bad)
+
+
+def test_streaming_sink_maintains_sigindex(spark, tmp_path):
+    """The streaming front-end performs the same continuous dedup-index
+    maintenance as the batch loop: after the stream drains, the
+    SignatureIndex equals the recompute over the table's final state (and
+    a replayed-checkpoint restart leaves it unchanged — fenced no-ops)."""
+    from sparkcdc.changelog import generate_changelog, write_log_parquet
+    from sparkcdc.dedupe_docs import minhash_signatures
+    from sparkcdc.sigindex import SignatureIndex
+    from sparkcdc.streaming import run_streaming
+
+    log = generate_changelog(spark, 2_000, 150, seed=93, dup_pct=10)
+    wal = log.select(
+        "seq", "op", "doc_id",
+        F.when(
+            F.col("tokens").isNotNull(),
+            F.concat_ws(" ", F.transform("tokens", lambda t: F.concat(F.lit("w"), t))),
+        ).alias("text"),
+        "source",
+    )
+    wal_path = str(tmp_path / "stextwal")
+    write_log_parquet(wal, wal_path)
+
+    cfg = JobConfig(
+        log_path=wal_path, table_path=str(tmp_path / "stbl"), n_buckets=8,
+        sigindex_path=str(tmp_path / "ssidx"),
+    )
+    totals = run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "sck"))
+    assert totals["applied_events"] > 0
+
+    from sparkcdc.icebox import IceboxTable
+
+    tbl = IceboxTable.load(spark, cfg.table_path)
+    idx = SignatureIndex.load(spark, cfg.sigindex_path)
+    got = [tuple(r) for r in idx.signatures().select("doc_id", "mh_0")
+           .orderBy("doc_id").collect()]
+    want = [tuple(r) for r in minhash_signatures(tbl.read().select("doc_id", "text"))
+            .select("doc_id", "mh_0").orderBy("doc_id").collect()]
+    assert got == want and got
+
+    # same checkpoint restart: replayed epochs fence, index refresh no-ops
+    totals2 = run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "sck"))
+    assert totals2.get("applied_events", 0) == 0
+    got2 = [tuple(r) for r in SignatureIndex.load(spark, cfg.sigindex_path)
+            .signatures().select("doc_id", "mh_0").orderBy("doc_id").collect()]
+    assert got2 == got
