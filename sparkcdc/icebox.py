@@ -568,6 +568,11 @@ class IceboxTable:
             if op == "between":
                 v1, v2 = val
                 return not (hi < v1 or lo > v2)
+            if op == "in":
+                # a file may match an IN-list iff any listed value falls
+                # inside its [min, max] — the shard-slice read pattern
+                # (PackedTable repacks O(touched shards), not the corpus)
+                return any(lo <= v <= hi for v in val)
         except TypeError:
             return True
         raise ValueError(f"unsupported filter op {op!r}")
@@ -608,6 +613,8 @@ class IceboxTable:
                 cond = col >= F.lit(v)
             elif op == "between":
                 cond = col.between(F.lit(v[0]), F.lit(v[1]))
+            elif op == "in":
+                cond = col.isin(list(v))
             else:
                 raise ValueError(f"unsupported filter op {op!r}")
             expr = expr & cond
@@ -631,7 +638,8 @@ class IceboxTable:
         tagged snapshot).
 
         ``filters`` — simple conjunctive predicates
-        ``[(col, op, value), ...]`` with op in {=, <, <=, >, >=, between}
+        ``[(col, op, value), ...]`` with op in
+        {=, <, <=, >, >=, between, in}
         — enable MANIFEST-LEVEL data skipping: files whose recorded
         [min, max] for the column cannot match are dropped from the scan
         at plan time (the Iceberg column-metrics analog), and the same

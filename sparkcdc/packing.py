@@ -26,8 +26,15 @@ Everything else is native Catalyst: one window, one explode of at most
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import json
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .commitstore import CommitStore
+from .icebox import IceboxTable
+from .sigindex import IncrementalIndex
 
 
 def pack_sequences(
@@ -133,3 +140,193 @@ def pack_documents(
     return packed.select(
         *keys, F.array_join("tokens", " ").alias("token_str"), "n_tok", "n_docs"
     )
+
+
+_PACK_META_NAME = "packidx.json"
+
+
+class PackedTable(IncrementalIndex):
+    """Packed training sequences as a DERIVED icebox table, maintained
+    incrementally from the source doc table's change feed — the packing
+    analog of :class:`sigindex.SignatureIndex` (same reference principle:
+    fetch only what changed, /root/reference/src/main/java/org/embulk/
+    input/jira/JiraInputPlugin.java:154-163).
+
+    Packing is order-dependent: one edited document shifts every
+    downstream chunk boundary in its stream. The repack unit is therefore
+    the SHARD (``pack_sequences``'s ``shard_col`` — source/bucket
+    granularity, the production packing mode): a refresh reads the change
+    feed with pre/post images (CDF — a deleted or moved doc names its old
+    shard in the pre-image), collects the touched shard set (metadata-
+    scale cardinality, same bounded-collect discipline as the merge
+    probe), re-packs ONLY those shards from the pinned source snapshot,
+    and MERGEs the result keyed ``pack_id = shard:seq_id`` — chunks past
+    the shard's new end are deleted by anti-join. Cost per refresh is
+    O(touched shards), not O(corpus): the feed read is O(changed
+    buckets), and the shard re-read is an ``("shard", "in", ...)``
+    filtered read that skips non-matching files at plan time when the
+    source is shard-clustered (``compact(cluster_by=shard_col)``).
+
+    Exactly-once: the MERGE batch id is the (from, to) snapshot pair and
+    the consumer pin advances only after the merge is durable — a crash
+    in between replays as a fenced no-op. The source's consumer registry
+    pins the from-snapshot so expiration can never break the feed.
+
+    Schema (frozen at create): ``pack_id`` (key), ``shard``, ``seq_id``,
+    ``tokens``, ``n_tok``, ``n_docs``. Documents with a NULL shard are
+    outside every stream and are never packed."""
+
+    def __init__(self, spark: SparkSession, table: IceboxTable, *, meta: dict):
+        self.spark = spark
+        self.table = table
+        self.seq_len = int(meta["seq_len"])
+        self.id_col = meta["id_col"]
+        self.tokens_col = meta["tokens_col"]
+        self.shard_col = meta["shard_col"]
+
+    # ---------------- lifecycle ----------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        seq_len: int,
+        shard_type: T.DataType = T.StringType(),
+        token_type: T.DataType = T.IntegerType(),
+        id_col: str = "doc_id",
+        tokens_col: str = "tokens",
+        shard_col: str = "source",
+        n_buckets: int = 16,
+        store: CommitStore | None = None,
+    ) -> "PackedTable":
+        if seq_len < 1:
+            raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+        schema = T.StructType(
+            [
+                T.StructField("pack_id", T.StringType()),
+                T.StructField("shard", shard_type),
+                T.StructField("seq_id", T.LongType()),
+                T.StructField("tokens", T.ArrayType(token_type)),
+                T.StructField("n_tok", T.IntegerType()),
+                T.StructField("n_docs", T.LongType()),
+            ]
+        )
+        table = IceboxTable.create(
+            spark, path, schema, key="pack_id", n_buckets=n_buckets, store=store
+        )
+        meta = {
+            "seq_len": int(seq_len),
+            "id_col": id_col,
+            "tokens_col": tokens_col,
+            "shard_col": shard_col,
+        }
+        table._store.put(_PACK_META_NAME, json.dumps(meta).encode())
+        return cls(spark, table, meta=meta)
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, path: str, *, store: CommitStore | None = None
+    ) -> "PackedTable":
+        table = IceboxTable.load(spark, path, store=store)
+        meta = json.loads(table._store.get(_PACK_META_NAME))
+        return cls(spark, table, meta=meta)
+
+    @staticmethod
+    def table_exists(path: str) -> bool:
+        return IceboxTable.exists(path)
+
+    # ---------------- incremental maintenance ----------------
+
+    def _pack_shards(self, src_table: IceboxTable, to_sid: int, shards: list) -> DataFrame:
+        """Re-pack the given shards from the pinned source snapshot —
+        identical output to the full ``pack_sequences(..., shard_col=...)``
+        restricted to those shards (pinned by the shard==global test in
+        tests/test_packing.py). A string ``tokens_col`` is whitespace-
+        tokenized (the ``pack_documents`` convention)."""
+        sl = src_table.read(to_sid, filters=[(self.shard_col, "in", shards)])
+        toks = (
+            F.split(F.trim(F.col(self.tokens_col)), r"\s+")
+            if isinstance(sl.schema[self.tokens_col].dataType, T.StringType)
+            else F.col(self.tokens_col)
+        )
+        tok_df = sl.select(
+            F.col(self.shard_col).alias("shard"),
+            F.col(self.id_col).alias("_pid"),
+            toks.alias("_ptoks"),
+        ).where(F.col("shard").isNotNull())
+        return pack_sequences(
+            tok_df, self.seq_len, tokens_col="_ptoks", id_col="_pid",
+            shard_col="shard",
+        )
+
+    def refresh_from(self, src_table: IceboxTable, *, consumer: str = "packed") -> dict:
+        """Fold the source table's changes since the last sync into the
+        packed table by re-packing only the touched shards."""
+        from_sid, to_sid, ch = self._window(
+            src_table, consumer=consumer, mode="cdf"
+        )
+        if ch is None:
+            return {
+                "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
+            }
+        # touched shards: pre- AND post-images, so a doc moving between
+        # shards repacks both its old and new stream. Bounded collect —
+        # shard cardinality is source/bucket-scale metadata, not row-scale.
+        shards = [
+            r[0]
+            for r in ch.select(F.col(self.shard_col).alias("_s"))
+            .where(F.col("_s").isNotNull())
+            .distinct()
+            .collect()
+        ]
+        m: dict = {"applied_shards": len(shards)}
+        if shards:
+            packed = self._pack_shards(src_table, to_sid, shards)
+            ups = packed.select(
+                F.lit("upsert").alias("_change"),
+                F.concat_ws(
+                    ":", F.col("shard").cast("string"), F.col("seq_id").cast("string")
+                ).alias("pack_id"),
+                "shard", "seq_id", "tokens", "n_tok", "n_docs",
+            )
+            # chunks past each shard's new end (or of a vanished shard)
+            cur = self.table.read(filters=[("shard", "in", shards)])
+            nulls = [
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in self.table.schema.fields
+                if f.name != "pack_id"
+            ]
+            stale = cur.select("pack_id").join(
+                ups.select("pack_id"), "pack_id", "left_anti"
+            ).select(F.lit("delete").alias("_change"), "pack_id", *nulls)
+            batch = ups.unionByName(stale).withColumn(
+                "_seq", F.lit(to_sid).cast("long")
+            )
+            m = {
+                **self.table.merge(
+                    batch,
+                    batch_id=f"{consumer}:{from_sid}->{to_sid}",
+                    seq_col="_seq",
+                    op_col="_change",
+                    delete_value="delete",
+                    fence=False,
+                    tombstones=True,
+                    mor=None,
+                ),
+                **m,
+            }
+        self._advance(src_table, consumer, from_sid, to_sid)
+        m = self._compact_if_needed(m)
+        return {**m, "from_snapshot": from_sid, "to_snapshot": to_sid}
+
+    # ---------------- query ----------------
+
+    def chunks(self) -> DataFrame:
+        """Current packed state ``(pack_id, shard, seq_id, tokens, n_tok,
+        n_docs)`` — identical to ``pack_sequences`` over the current
+        source corpus (refreshes the handle first, same live-read
+        discipline as SignatureIndex.signatures)."""
+        self.table.refresh()
+        return self.table.read()

@@ -79,39 +79,66 @@ class IncrementalIndex:
     # folding, read-time LWW resolution degrades as deltas stack up
     compact_delta_files: int = 32
 
-    def _refresh(self, src_table: IceboxTable, *, consumer: str, derive) -> dict:
-        """``derive(upserts) -> DataFrame`` maps changed source rows (the
-        ``_change='upsert'`` slice of the feed, payload columns intact) to
-        index payload rows keyed by the index key; rows it omits are
-        deleted from the index. O(changed source buckets) end to end."""
+    def _window(
+        self, src_table: IceboxTable, *, consumer: str, mode: str = "net"
+    ) -> tuple:
+        """Consumer-pinned change window: ``(from_sid, to_sid, changes)``.
+
+        ``changes is None`` means up to date (nothing to fold);
+        ``from_sid is None`` means bootstrap-onto-expired — the caller must
+        register the consumer only AFTER its merge is durable (a crash in
+        between just redoes the bootstrap; LWW makes the re-merge a
+        harmless rewrite). ``mode`` is passed through to ``read_changes``
+        ("net" or "cdf"); the bootstrap slice is shaped to match."""
         to_sid = src_table.refresh()["snapshot_id"]
         regs = src_table.consumers()
         if consumer in regs:
             from_sid = regs[consumer]
             if from_sid == to_sid:
-                return {
-                    "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
-                }
-            ch = src_table.read_changes(from_sid, to_sid)
-        elif 0 in src_table._history_ids():
+                return from_sid, to_sid, None
+            return from_sid, to_sid, src_table.read_changes(from_sid, to_sid, mode=mode)
+        if 0 in src_table._history_ids():
             # bootstrap: snapshot 0 is the empty created table, so the
             # first refresh indexes the whole current corpus as "changes"
             from_sid = src_table.register_consumer(consumer, 0)
             if from_sid == to_sid:
-                return {
-                    "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
-                }
-            ch = src_table.read_changes(from_sid, to_sid)
+                return from_sid, to_sid, None
+            return from_sid, to_sid, src_table.read_changes(from_sid, to_sid, mode=mode)
+        # bootstrap onto a table whose empty snapshot is already expired:
+        # the full current state IS the change set (every visible row as
+        # an insert/upsert at its own LSN).
+        tag = F.lit("insert").alias("_change_type") if mode == "cdf" else (
+            F.lit("upsert").alias("_change")
+        )
+        ch = src_table.read(to_sid, with_seq=True).select(tag, "*").drop("_deleted")
+        return None, to_sid, ch
+
+    def _advance(
+        self, src_table: IceboxTable, consumer: str, from_sid, to_sid: int
+    ) -> None:
+        if from_sid is None:
+            src_table.register_consumer(consumer, to_sid)
         else:
-            # bootstrap onto a table whose empty snapshot is already
-            # expired: the full current state IS the change set (every
-            # visible row as an upsert at its own LSN). Registration
-            # happens AFTER the merge — a crash in between just redoes
-            # the bootstrap (LWW makes the re-merge a harmless rewrite).
-            from_sid = None
-            ch = src_table.read(to_sid, with_seq=True).select(
-                F.lit("upsert").alias("_change"), "*"
-            ).drop("_deleted")
+            src_table.advance_consumer(consumer, to_sid)
+
+    def _compact_if_needed(self, m: dict) -> dict:
+        n_delta = sum(
+            1 for e in self.table.snapshot["manifest"] if e.get("kind") == "delta"
+        )
+        if self.compact_delta_files and n_delta > self.compact_delta_files:
+            return {**m, "compacted": self.table.compact()}
+        return m
+
+    def _refresh(self, src_table: IceboxTable, *, consumer: str, derive) -> dict:
+        """``derive(upserts) -> DataFrame`` maps changed source rows (the
+        ``_change='upsert'`` slice of the feed, payload columns intact) to
+        index payload rows keyed by the index key; rows it omits are
+        deleted from the index. O(changed source buckets) end to end."""
+        from_sid, to_sid, ch = self._window(src_table, consumer=consumer)
+        if ch is None:
+            return {
+                "skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid,
+            }
         key = self.table.key
         schema = self.table.schema
         payload_cols = [f.name for f in schema.fields if f.name != key]
@@ -146,15 +173,8 @@ class IncrementalIndex:
             # bootstrap (batch ≈ index) goes copy-on-write
             mor=None,
         )
-        if from_sid is None:
-            src_table.register_consumer(consumer, to_sid)
-        else:
-            src_table.advance_consumer(consumer, to_sid)
-        n_delta = sum(
-            1 for e in self.table.snapshot["manifest"] if e.get("kind") == "delta"
-        )
-        if self.compact_delta_files and n_delta > self.compact_delta_files:
-            m = {**m, "compacted": self.table.compact()}
+        self._advance(src_table, consumer, from_sid, to_sid)
+        m = self._compact_if_needed(m)
         return {**m, "from_snapshot": from_sid, "to_snapshot": to_sid}
 
 

@@ -1082,3 +1082,25 @@ def test_snapshots_skips_orphan_commit_below_floor(spark, tmp_path):
     ta.expire_snapshots(keep_last=1)  # does not crash on the orphan
     t2 = IceboxTable.load(spark, path, store=mem)  # reload path unaffected
     assert t2.read().count() == ta.read().count()
+
+
+def test_in_filter_prunes_files_and_matches_isin(spark, tmp_path):
+    """`("col", "in", values)` — the shard-slice read pattern (PackedTable
+    repacks O(touched shards)): file-level skip iff NO listed value falls
+    in a file's [min, max], row filter == .isin."""
+    import os
+    t = IceboxTable.create(spark, str(tmp_path / "tbl"), SCHEMA_V1, n_buckets=2)
+    schema = "doc_id: string, tokens: array<int>, n_tok: int, source: string, seq: long, op: string"
+    rows = [
+        (f"d{i:04d}", [1], i, f"s{i // 100}", i + 1, "upsert") for i in range(400)
+    ]
+    t.merge(spark.createDataFrame(rows, schema), "b1")
+    t.compact(cluster_by="source", max_file_rows=60)
+    out = t.read(filters=[("source", "in", ["s0", "s3"])])
+    assert out.count() == 200
+    expect = t.read().where(F.col("source").isin("s0", "s3"))
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in expect.collect()
+    )
+    scanned = {os.path.relpath(f.replace("file:", ""), t.path) for f in out.inputFiles()}
+    assert len(scanned) < len(t.snapshot["manifest"])

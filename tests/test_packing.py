@@ -109,3 +109,216 @@ def test_all_empty_docs_yield_no_chunks(spark):
         [(1, []), (2, [])], "doc_id long, tokens array<int>"
     )
     assert pack_sequences(df, 8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# PackedTable: incrementally-maintained packed sequences from the source
+# table's change feed. Invariant everywhere: after any refresh, chunks()
+# == pack_documents over the CURRENT source corpus (per shard), at
+# O(touched shards) repack cost — never a corpus repack.
+# ---------------------------------------------------------------------------
+
+import pyspark.sql.types as T
+import pytest
+
+from sparkcdc.icebox import IceboxTable
+from sparkcdc.packing import PackedTable
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def _pk_docs(spark):
+    return spark.read.parquet(f"{SF001}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+
+
+def _pk_log(df, op="upsert", seq_base=0):
+    return df.select(
+        "doc_id", "text", "source",
+        (F.col("doc_id") + F.lit(seq_base)).cast("long").alias("seq"),
+        F.lit(op).alias("op"),
+    )
+
+
+@pytest.fixture()
+def pk_source(spark, tmp_path):
+    return IceboxTable.create(
+        spark, str(tmp_path / "pdocs"), DOC_SCHEMA, n_buckets=8
+    )
+
+
+def _expected_chunks(docs):
+    return {
+        (r.source, r.seq_id): (r.token_str, r.n_tok, r.n_docs)
+        for r in pack_documents(docs, 64, shard_col="source").collect()
+    }
+
+
+def _got_chunks(pt):
+    return {
+        (r.shard, r.seq_id): (r.token_str, r.n_tok, r.n_docs)
+        for r in pt.chunks()
+        .select(
+            "shard", "seq_id",
+            F.array_join("tokens", " ").alias("token_str"), "n_tok", "n_docs",
+        )
+        .collect()
+    }
+
+
+def _mk_packed(spark, tmp_path, **kw):
+    return PackedTable.create(
+        spark, str(tmp_path / "packed"), seq_len=64,
+        token_type=T.StringType(), tokens_col="text", shard_col="source",
+        n_buckets=4, **kw,
+    )
+
+
+def test_packed_table_bootstrap_equals_full_pack(spark, tmp_path, pk_source):
+    docs = _pk_docs(spark)
+    pk_source.merge(_pk_log(docs), "b1")
+    pt = _mk_packed(spark, tmp_path)
+    m = pt.refresh_from(pk_source)
+    assert m["applied_shards"] > 0
+    assert _got_chunks(pt) == _expected_chunks(pk_source.read())
+    # up to date: next refresh is a no-op
+    assert pt.refresh_from(pk_source)["skipped"] is True
+
+
+def test_packed_table_incremental_edit_move_delete_equals_recompute(
+    spark, tmp_path, pk_source
+):
+    """Batch 2 edits one doc in place, MOVES one doc between shards (the
+    pre-image names the old shard — both streams must repack), and
+    deletes one; every downstream chunk boundary in the touched shards
+    shifts, untouched shards don't repack."""
+    docs = _pk_docs(spark)
+    pk_source.merge(_pk_log(docs), "b1")
+    pt = _mk_packed(spark, tmp_path)
+    pt.refresh_from(pk_source)
+
+    three = [r.doc_id for r in docs.orderBy("doc_id").limit(3).collect()]
+    edit = docs.where(F.col("doc_id") == three[0]).select(
+        "doc_id", F.concat(F.lit("edited "), F.col("text")).alias("text"), "source"
+    )
+    mover_row = docs.where(F.col("doc_id") == three[1]).first()
+    other_shard = docs.where(F.col("source") != mover_row.source).first().source
+    move = docs.where(F.col("doc_id") == three[1]).select(
+        "doc_id", "text", F.lit(other_shard).alias("source")
+    )
+    dead = docs.where(F.col("doc_id") == three[2])
+    batch = (
+        _pk_log(edit.unionByName(move), seq_base=500_000)
+        .unionByName(_pk_log(dead, op="delete", seq_base=500_000))
+    )
+    pk_source.merge(batch, "b2", tombstones=True)
+
+    m = pt.refresh_from(pk_source)
+    touched = {edit.first().source, mover_row.source, other_shard,
+               dead.first().source}
+    assert m["applied_shards"] == len(touched)
+    assert _got_chunks(pt) == _expected_chunks(pk_source.read())
+
+
+def test_packed_table_refresh_cost_is_o_touched_shards(
+    spark, tmp_path, pk_source
+):
+    """Editing one doc repacks exactly one shard, and the shard-slice
+    re-read file-skips: on a shard-clustered source the `in` filter
+    opens strictly fewer files than the corpus scan."""
+    docs = _pk_docs(spark)
+    pk_source.merge(_pk_log(docs), "b1")
+    pk_source.compact(cluster_by="source", max_file_rows=40)
+    pt = _mk_packed(spark, tmp_path)
+    pt.refresh_from(pk_source)
+
+    one = docs.orderBy("doc_id").limit(1).select(
+        "doc_id", F.concat(F.lit("edited "), F.col("text")).alias("text"), "source"
+    )
+    pk_source.merge(_pk_log(one, seq_base=500_000), "b2")
+    shard = one.first().source
+    sliced = pk_source.read(filters=[("source", "in", [shard])])
+    assert 0 < len(sliced.inputFiles()) < len(pk_source.read().inputFiles())
+
+    m = pt.refresh_from(pk_source)
+    assert m["applied_shards"] == 1
+    assert _got_chunks(pt) == _expected_chunks(pk_source.read())
+
+
+def test_packed_table_shard_vanishes_chunks_deleted(spark, tmp_path, pk_source):
+    """Deleting every doc of a shard anti-joins ALL its chunks away."""
+    docs = _pk_docs(spark)
+    pk_source.merge(_pk_log(docs), "b1")
+    pt = _mk_packed(spark, tmp_path)
+    pt.refresh_from(pk_source)
+    victim = docs.first().source
+    assert pt.chunks().where(F.col("shard") == victim).count() > 0
+
+    pk_source.merge(
+        _pk_log(docs.where(F.col("source") == victim), op="delete",
+                seq_base=500_000),
+        "b2", tombstones=True,
+    )
+    pt.refresh_from(pk_source)
+    assert pt.chunks().where(F.col("shard") == victim).count() == 0
+    assert _got_chunks(pt) == _expected_chunks(pk_source.read())
+
+
+def test_packed_table_null_shard_docs_never_packed(spark, tmp_path, pk_source):
+    docs = _pk_docs(spark).limit(20)
+    nulled = docs.select(
+        "doc_id", "text",
+        F.when(F.col("doc_id") % 2 == 0, F.col("source")).alias("source"),
+    )
+    pk_source.merge(_pk_log(nulled), "b1")
+    pt = _mk_packed(spark, tmp_path)
+    pt.refresh_from(pk_source)
+    got = _got_chunks(pt)
+    assert got == _expected_chunks(pk_source.read().where(F.col("source").isNotNull()))
+    assert None not in {s for s, _ in got}
+
+
+def test_packed_table_crash_replay_exactly_once(spark, tmp_path, pk_source):
+    """Crash between MERGE and advance_consumer: the replay re-runs the
+    same window; its MERGE is fenced by batch id; the pin advances."""
+    docs = _pk_docs(spark)
+    pk_source.merge(_pk_log(docs.where(F.col("doc_id") % 2 == 0)), "b1")
+    pt = _mk_packed(spark, tmp_path)
+    pt.refresh_from(pk_source)
+    pk_source.merge(
+        _pk_log(docs.where(F.col("doc_id") % 2 == 1), seq_base=500_000), "b2"
+    )
+
+    real_advance = pk_source.advance_consumer
+
+    def crashing_advance(name, sid):
+        raise RuntimeError("injected crash before consumer advance")
+
+    pk_source.advance_consumer = crashing_advance
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pt.refresh_from(pk_source)
+    pk_source.advance_consumer = real_advance
+
+    m = pt.refresh_from(pk_source)  # replay of the SAME window
+    assert pk_source.consumers()["packed"] == pk_source.snapshot["snapshot_id"]
+    assert _got_chunks(pt) == _expected_chunks(pk_source.read())
+    # and nothing doubled: pack_id unique
+    n = pt.chunks().count()
+    assert pt.chunks().select("pack_id").distinct().count() == n
+
+
+def test_packed_table_load_roundtrip(spark, tmp_path, pk_source):
+    docs = _pk_docs(spark).limit(30)
+    pk_source.merge(_pk_log(docs), "b1")
+    _mk_packed(spark, tmp_path).refresh_from(pk_source)
+    pt2 = PackedTable.load(spark, str(tmp_path / "packed"))
+    assert (pt2.seq_len, pt2.tokens_col, pt2.shard_col) == (64, "text", "source")
+    assert pt2.refresh_from(pk_source)["skipped"] is True
+    assert _got_chunks(pt2) == _expected_chunks(pk_source.read())
