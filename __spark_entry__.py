@@ -656,13 +656,52 @@ def q_text_decontaminate(spark, sf_dir):
 
 
 def q_pack_sequences(spark, sf_dir):
-    """Fixed-length training-sequence packing (packing.pack_documents):
-    the corpus's whitespace token stream in doc_id order, concat-and-split
-    into 256-token chunks; emits the packed chunk as a joined token_str
-    (portable cross-engine value compare) + token/doc counts."""
-    from sparkcdc.packing import pack_documents
+    """Fixed-length training-sequence packing, INCREMENTALLY maintained
+    (packing.PackedTable): the corpus lands in an icebox doc table in TWO
+    batches; after each, the packed-sequence table re-packs only the
+    shards that batch touched (named by the change feed's pre/post
+    images). The final chunks must equal a one-shot per-shard
+    concat-and-split recompute — the DuckDB oracle is the full packing
+    SQL, proving batch-incremental == full recompute (the sigindex
+    incremental-pull principle applied to packing). One-shot semantics
+    (pack_documents / pack_sequences) stay pinned by tests/test_packing.py
+    against an independent Python reference."""
+    import pyspark.sql.types as T
 
-    return pack_documents(_t(spark, sf_dir, "documents"), 256)
+    from sparkcdc.icebox import IceboxTable
+    from sparkcdc.packing import PackedTable
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = tempfile.mkdtemp(prefix="sparkcdc-packidx-")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    dt = IceboxTable.create(spark, f"{base}/docs", schema, n_buckets=8)
+    pt = PackedTable.create(
+        spark, f"{base}/packed", seq_len=256, token_type=T.StringType(),
+        tokens_col="text", shard_col="source", n_buckets=8,
+    )
+
+    def as_log(df, seq_base):
+        return df.select(
+            "doc_id", "text", "source",
+            (F.col("doc_id") + F.lit(seq_base)).cast("long").alias("seq"),
+            F.lit("upsert").alias("op"),
+        )
+
+    dt.merge(as_log(docs.where(F.col("doc_id") % 2 == 0), 0), "b1")
+    pt.refresh_from(dt)
+    dt.merge(as_log(docs.where(F.col("doc_id") % 2 == 1), 10_000_000), "b2")
+    pt.refresh_from(dt)
+    return pt.chunks().select(
+        "shard", "seq_id",
+        F.array_join("tokens", " ").alias("token_str"),
+        F.col("n_tok").cast("long").alias("n_tok"), "n_docs",
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1321,21 +1360,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+              SELECT doc_id, source,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE source IS NOT NULL
             ), docs AS (
-              SELECT doc_id, t, len(t) AS n,
-                     sum(len(t)) OVER (ORDER BY doc_id) - len(t) AS off
+              SELECT doc_id, source, t, len(t) AS n,
+                     sum(len(t)) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                     ) - len(t) AS off
               FROM toks
             ), pieces AS (
-              SELECT CAST(floor((off + g.i) / 256) AS BIGINT) AS seq_id,
+              SELECT source AS shard,
+                     CAST(floor((off + g.i) / 256) AS BIGINT) AS seq_id,
                      off + g.i AS gpos, t[g.i + 1] AS tok, doc_id
               FROM docs, unnest(range(0, n)) AS g(i)
               WHERE n > 0
             )
-            SELECT seq_id,
+            SELECT shard, seq_id,
                    array_to_string(list(tok ORDER BY gpos), ' ') AS token_str,
                    COUNT(*) AS n_tok, COUNT(DISTINCT doc_id) AS n_docs
-            FROM pieces GROUP BY seq_id
+            FROM pieces GROUP BY shard, seq_id
         """,
         "dedup_exact": """
             SELECT md5(norm_text) AS text_hash,
