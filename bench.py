@@ -216,7 +216,6 @@ def main() -> int:
         "lww_dedup": "t2_lww_dedup",
         "merge_upsert": "cdc_merge_upsert",
         "scan_filter": "p2_filter_pushdown",
-        "agg": "a1_count_aggregate",
         "minhash_lsh": "dedup_minhash_lsh",
         "ngram_jaccard": "dedup_ngram_jaccard",
         "lsh_verified": "dedup_lsh_verified",
@@ -225,13 +224,44 @@ def main() -> int:
         "fingerprint": "text_fingerprint",
         "multimodal": "multimodal_features",
         "decontam_scan": "text_decontaminate",
-        "pack_sequences": "pack_sequences",
     }
     qs = entrymod.queries()
     for label, qname in bench_queries.items():
         fn = qs[qname]
         timed(label, lambda fn=fn: extra.__setitem__(
             f"{label}_rows", float(fn(spark, sf_dir).count())))
+
+    # group-count over events (the old a1 gate row, retired from the
+    # 50-entry driver gate but kept as a bench workload for label
+    # continuity with BENCH_r04)
+    from pyspark.sql import functions as F
+
+    events_df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    timed(
+        "agg",
+        lambda: extra.__setitem__(
+            "agg_rows",
+            float(
+                events_df.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.countDistinct("user_id").alias("n_users"))
+                .count()
+            ),
+        ),
+    )
+
+    # ---- one-shot corpus packing (the gate row now exercises the
+    # incremental PackedTable path, so the operator is timed directly here)
+    from sparkcdc.packing import PackedTable, pack_documents
+
+    docs_parq = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    timed(
+        "pack_sequences",
+        lambda: extra.__setitem__(
+            "pack_sequences_rows",
+            float(pack_documents(docs_parq, 256, shard_col="source").count()),
+        ),
+    )
 
     # ---- simhash: NATIVE (default, xxhash64 JVM bit-vote) vs md5 (Arrow
     # UDF oracle family) over the same corpus — the CPU delta between the
@@ -297,6 +327,60 @@ def main() -> int:
         ),
     )
 
+    # ---- incremental packed-sequence maintenance: the packed table over
+    # the corpus is bootstrapped ONCE (untimed); each timed rep ingests a
+    # fresh 1%-edit batch and refreshes — re-packing only the touched
+    # shards. Compare with `pack_sequences` (one-shot full corpus pack):
+    # the gap is the steady-state incremental win per ingest batch.
+    pk_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    pk_docs = docs_parq.select("doc_id", "text", "source")
+    pkt = IceboxTable.create(
+        spark, os.path.join(work, "pack-docs"), pk_schema, n_buckets=8
+    )
+    pkt.merge(
+        pk_docs.select("doc_id", "text", "source",
+                       F.col("doc_id").cast("long").alias("seq"),
+                       F.lit("upsert").alias("op")),
+        "bench-pack-corpus",
+    )
+    pkt.compact(cluster_by="source", max_file_rows=200_000)
+    pidx = PackedTable.create(
+        spark, os.path.join(work, "pack-idx"), seq_len=256,
+        token_type=T.StringType(), tokens_col="text", shard_col="source",
+        n_buckets=8,
+    )
+    pidx.refresh_from(pkt)
+    pack_shards = sorted(
+        r[0] for r in pk_docs.select("source").distinct().collect() if r[0]
+    )
+    pack_rep = {"i": 0}
+
+    def run_packed_refresh() -> None:
+        # the ingest batch is SHARD-LOCAL (new data lands in one source),
+        # so the refresh re-packs 1 of the corpus's shards
+        i = pack_rep["i"] = pack_rep["i"] + 1
+        shard = pack_shards[i % len(pack_shards)]
+        batch = pk_docs.where(
+            (F.col("source") == shard) & (F.col("doc_id") % 10 == i % 10)
+        ).select(
+            "doc_id", F.concat(F.lit(f"edit{i} "), F.col("text")).alias("text"),
+            "source",
+            (F.col("doc_id") + F.lit(i * 1_000_000)).cast("long").alias("seq"),
+            F.lit("upsert").alias("op"),
+        )
+        pkt.merge(batch, f"bench-pack-b{i}")
+        m = pidx.refresh_from(pkt)
+        extra["packed_refresh_shards"] = float(m.get("applied_shards", 0))
+
+    timed("packed_refresh", run_packed_refresh)
+    extra["packed_refresh_rows"] = float(pidx.chunks().count())
+
     # ---- ANN from the persistent vector index: built once (untimed),
     # each timed rep answers the top-k query set from stored buckets +
     # vectors with zero plane hashing — set beside `ann_cosine`'s
@@ -360,6 +444,14 @@ def main() -> int:
         "events_per_sec_large_batch": round(extra["events_per_sec_large_batch"], 1),
         "events_per_sec_gated": round(extra["events_per_sec_gated"], 1),
         "replay_events": int(extra["cdc_replay_events"]),
+        # deterministic per-workload output sizes (rows / touched shards):
+        # like the byte counters, these move only when the plan or data
+        # changes — never with box noise
+        "row_counts": {
+            k: int(v)
+            for k, v in sorted(extra.items())
+            if k.endswith("_rows") or k.endswith("_shards")
+        },
     }
     print(json.dumps(out))
     return 0
