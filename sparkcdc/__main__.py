@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
                         "with the table (refreshed from the change feed "
                         "after every batch; payload needs a text column)")
     p.add_argument("--sigindex-text-col", default="text")
+    p.add_argument("--packed", default=None, metavar="PATH",
+                   help="keep a packed training-sequence table at PATH in "
+                        "sync with the table (only the shards each batch "
+                        "touches are re-packed)")
+    p.add_argument("--packed-seq-len", type=int, default=2048)
+    p.add_argument("--packed-tokens-col", default="text")
+    p.add_argument("--packed-shard-col", default="source")
     p.add_argument("--audit-check", action="append", default=None,
                    metavar="SPEC", dest="audit_checks",
                    help="write-audit-publish gate (repeatable): stage each "
@@ -116,6 +123,10 @@ def main(argv: list[str] | None = None) -> int:
             target_bucket_bytes=args.target_bucket_bytes,
             sigindex_path=args.sigindex,
             sigindex_text_col=args.sigindex_text_col,
+            packed_path=args.packed,
+            packed_seq_len=args.packed_seq_len,
+            packed_tokens_col=args.packed_tokens_col,
+            packed_shard_col=args.packed_shard_col,
             audit_checks=args.audit_checks,
             audit_on_fail=args.audit_on_fail,
         )

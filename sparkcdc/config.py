@@ -67,6 +67,17 @@ class JobConfig:
     # Requires the payload to carry ``sigindex_text_col``.
     sigindex_path: str | None = None
     sigindex_text_col: str = "text"
+    # continuous packed-corpus maintenance: when set, the engine keeps a
+    # PackedTable (fixed-length training sequences) at this path in sync
+    # with the table, re-packing ONLY the shards each batch touched —
+    # training data is ready at every commit point instead of via a
+    # corpus-wide repack job. The payload needs ``packed_tokens_col``
+    # (string → whitespace-tokenized, or array) and ``packed_shard_col``
+    # (the independent packing streams).
+    packed_path: str | None = None
+    packed_seq_len: int = 2048
+    packed_tokens_col: str = "text"
+    packed_shard_col: str = "source"
     # write-audit-publish quality gate: when set, every batch is STAGED
     # (invisible), audited with these checks against the would-be table
     # state, and only published if all pass (sparkcdc.audit). Specs are
@@ -124,6 +135,15 @@ class JobConfig:
             raise ConfigError("sigindex_path could not be empty")
         if self.sigindex_path is not None and not self.sigindex_text_col:
             raise ConfigError("sigindex_text_col could not be empty")
+        if self.packed_path is not None:
+            if not self.packed_path:
+                raise ConfigError("packed_path could not be empty")
+            if self.packed_seq_len < 1:
+                raise ConfigError("packed_seq_len must be greater than 0")
+            if not self.packed_tokens_col:
+                raise ConfigError("packed_tokens_col could not be empty")
+            if not self.packed_shard_col:
+                raise ConfigError("packed_shard_col could not be empty")
         if self.audit_on_fail not in ("abort", "quarantine"):
             raise ConfigError("audit_on_fail must be 'abort' or 'quarantine'")
         if self.audit_checks is not None:

@@ -153,6 +153,42 @@ class CDCEngine:
                     spark, cfg.sigindex_path,
                     key_type=tbl_schema[cfg.key].dataType,
                 )
+        self.packed = None
+        if cfg.packed_path:
+            import pyspark.sql.types as T
+
+            from .config import ConfigError
+            from .packing import PackedTable
+
+            tbl_schema = self.table.schema
+            for role, col in (("packed_tokens_col", cfg.packed_tokens_col),
+                              ("packed_shard_col", cfg.packed_shard_col)):
+                if col not in tbl_schema.names:
+                    raise ConfigError(
+                        f"{role} {col!r} not in the table payload "
+                        f"{tbl_schema.names} — continuous packed-corpus "
+                        f"maintenance needs it"
+                    )
+            tok_dt = tbl_schema[cfg.packed_tokens_col].dataType
+            if isinstance(tok_dt, T.StringType):
+                token_type = T.StringType()  # whitespace-tokenized
+            elif isinstance(tok_dt, T.ArrayType):
+                token_type = tok_dt.elementType
+            else:
+                raise ConfigError(
+                    f"packed_tokens_col {cfg.packed_tokens_col!r} must be a "
+                    f"string or array column, got {tok_dt.simpleString()}"
+                )
+            if PackedTable.table_exists(cfg.packed_path):
+                self.packed = PackedTable.load(spark, cfg.packed_path)
+            else:
+                self.packed = PackedTable.create(
+                    spark, cfg.packed_path, seq_len=cfg.packed_seq_len,
+                    shard_type=tbl_schema[cfg.packed_shard_col].dataType,
+                    token_type=token_type, id_col=cfg.key,
+                    tokens_col=cfg.packed_tokens_col,
+                    shard_col=cfg.packed_shard_col,
+                )
 
     # ---------------- planning ----------------
 
@@ -416,6 +452,17 @@ class CDCEngine:
                     "from_snapshot": ref.get("from_snapshot"),
                     "to_snapshot": ref.get("to_snapshot"),
                     "applied_events": ref.get("applied_events", 0),
+                })
+            if self.packed is not None:
+                # continuous packed-corpus maintenance: re-pack only the
+                # shards this batch touched (packing.PackedTable) — the
+                # training-sequence table is current at every commit point
+                ref = self.packed.refresh_from(self.table)
+                self.metrics.emit({
+                    "kind": "packed-refresh",
+                    "from_snapshot": ref.get("from_snapshot"),
+                    "to_snapshot": ref.get("to_snapshot"),
+                    "applied_shards": ref.get("applied_shards", 0),
                 })
             if self.cfg.target_bucket_bytes:
                 # stats-driven partition evolution: bucket count doubles

@@ -85,6 +85,17 @@ def run_streaming(
                 "to_snapshot": ref.get("to_snapshot"),
                 "applied_events": ref.get("applied_events", 0),
             })
+        if engine.packed is not None:
+            # continuous packed-corpus maintenance, streaming form: same
+            # O(touched shards) re-pack as the batch engine loop; a
+            # replayed epoch's refresh is a (from,to)-identical no-op
+            ref = engine.packed.refresh_from(engine.table)
+            engine.metrics.emit({
+                "kind": "packed-refresh",
+                "from_snapshot": ref.get("from_snapshot"),
+                "to_snapshot": ref.get("to_snapshot"),
+                "applied_shards": ref.get("applied_shards", 0),
+            })
 
     stream = (
         spark.readStream.schema(static.schema)

@@ -1200,3 +1200,138 @@ def test_streaming_sink_maintains_sigindex(spark, tmp_path):
     got2 = [tuple(r) for r in SignatureIndex.load(spark, cfg.sigindex_path)
             .signatures().select("doc_id", "mh_0").orderBy("doc_id").collect()]
     assert got2 == got
+
+
+def test_engine_maintains_packed_table_continuously(spark, tmp_path):
+    """cfg.packed_path wires continuous packed-corpus maintenance into the
+    replay loop: after every applied batch the PackedTable re-packs only
+    the touched shards, and at any stop point (including kill/resume) its
+    chunks equal the one-shot pack over the table's current state."""
+    from sparkcdc.changelog import generate_changelog, write_log_parquet
+    from sparkcdc.packing import PackedTable, pack_documents
+
+    log = generate_changelog(spark, 3_000, 200, seed=95, dup_pct=10)
+    wal = log.select(
+        "seq", "op", "doc_id",
+        F.when(
+            F.col("tokens").isNotNull(),
+            F.concat_ws(" ", F.transform("tokens", lambda t: F.concat(F.lit("w"), t))),
+        ).alias("text"),
+        "source",
+    )
+    wal_path = str(tmp_path / "pkwal")
+    write_log_parquet(wal, wal_path)
+
+    cfg = JobConfig(
+        log_path=wal_path, table_path=str(tmp_path / "pktbl"), n_buckets=8,
+        batch_size=1_000, packed_path=str(tmp_path / "pk"),
+        packed_seq_len=32,
+    )
+    eng = CDCEngine(spark, cfg)
+    eng.run(max_batches=1)  # simulated kill after batch 1
+
+    def assert_synced(engine):
+        got = sorted(
+            tuple(r) for r in engine.packed.chunks().select(
+                "shard", "seq_id", F.array_join("tokens", " ").alias("s"),
+                "n_tok", "n_docs",
+            ).collect()
+        )
+        want = sorted(
+            tuple(r) for r in pack_documents(
+                engine.table.read().where(F.col("source").isNotNull()),
+                32, shard_col="source",
+            ).select(
+                F.col("source").alias("shard"), "seq_id",
+                F.col("token_str").alias("s"), "n_tok", "n_docs",
+            ).collect()
+        )
+        assert got == want and got
+
+    assert_synced(eng)
+    eng2 = CDCEngine(spark, cfg)  # resume from checkpoint
+    totals = eng2.run()
+    assert totals["applied_events"] > 0
+    assert_synced(eng2)
+    refreshes = [r for r in eng2.metrics.records if r.get("kind") == "packed-refresh"]
+    assert len(refreshes) >= 2  # one per applied batch
+    # handle reload sees the same state
+    pt = PackedTable.load(spark, cfg.packed_path)
+    assert pt.refresh_from(eng2.table)["skipped"] is True
+    # validation: a payload without the tokens column is rejected up front
+    plain = str(tmp_path / "pkplain")
+    write_log_parquet(log.drop("tokens"), plain)
+    bad = JobConfig(log_path=plain, table_path=str(tmp_path / "pktbl2"),
+                    packed_path=str(tmp_path / "pk2"))
+    with pytest.raises(ConfigError, match="packed_tokens_col"):
+        CDCEngine(spark, bad)
+
+
+def test_streaming_sink_maintains_packed_table(spark, tmp_path):
+    """The streaming front-end performs the same continuous packed-corpus
+    maintenance as the batch loop; a replayed-checkpoint restart leaves
+    the chunks unchanged (fenced no-ops)."""
+    from sparkcdc.changelog import generate_changelog, write_log_parquet
+    from sparkcdc.packing import PackedTable, pack_documents
+    from sparkcdc.streaming import run_streaming
+
+    log = generate_changelog(spark, 2_000, 150, seed=97, dup_pct=10)
+    wal = log.select(
+        "seq", "op", "doc_id",
+        F.when(
+            F.col("tokens").isNotNull(),
+            F.concat_ws(" ", F.transform("tokens", lambda t: F.concat(F.lit("w"), t))),
+        ).alias("text"),
+        "source",
+    )
+    wal_path = str(tmp_path / "spkwal")
+    write_log_parquet(wal, wal_path)
+
+    cfg = JobConfig(
+        log_path=wal_path, table_path=str(tmp_path / "spktbl"), n_buckets=8,
+        packed_path=str(tmp_path / "spk"), packed_seq_len=32,
+    )
+    totals = run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "spkck"))
+    assert totals["applied_events"] > 0
+
+    from sparkcdc.icebox import IceboxTable
+
+    tbl = IceboxTable.load(spark, cfg.table_path)
+    pt = PackedTable.load(spark, cfg.packed_path)
+    got = sorted(
+        tuple(r) for r in pt.chunks().select(
+            "shard", "seq_id", F.array_join("tokens", " ").alias("s"),
+            "n_tok", "n_docs",
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in pack_documents(
+            tbl.read().where(F.col("source").isNotNull()), 32,
+            shard_col="source",
+        ).select(
+            F.col("source").alias("shard"), "seq_id",
+            F.col("token_str").alias("s"), "n_tok", "n_docs",
+        ).collect()
+    )
+    assert got == want and got
+
+    # same checkpoint restart: replayed epochs fence, packed refresh no-ops
+    totals2 = run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "spkck"))
+    assert totals2.get("applied_events", 0) == 0
+    got2 = sorted(
+        tuple(r) for r in PackedTable.load(spark, cfg.packed_path)
+        .chunks().select(
+            "shard", "seq_id", F.array_join("tokens", " ").alias("s"),
+            "n_tok", "n_docs",
+        ).collect()
+    )
+    assert got2 == got
+
+
+def test_packed_config_validation():
+    with pytest.raises(ConfigError, match="packed_seq_len"):
+        JobConfig(log_path="x", table_path="y", packed_path="p",
+                  packed_seq_len=0).validate()
+    with pytest.raises(ConfigError, match="packed_shard_col"):
+        JobConfig(log_path="x", table_path="y", packed_path="p",
+                  packed_shard_col="").validate()
