@@ -246,12 +246,18 @@ def lsh_verified_pairs(
 def simhash64_native(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     """(doc_id, sim): 64-bit SimHash computed ENTIRELY in native
     expressions — the 100 TB path. Tokens via ``split``+``explode``,
-    per-token ``xxhash64``, the per-bit ±1 vote as 64 JVM-side sums
-    (partial-aggregated map-side, one shuffle on doc_id), and the sign
-    bits packed into a signed int64 from two 32-bit halves (shift-OR —
-    shifts are not overflow-checked, so the plan also survives a foreign
-    ANSI-on session). No Python touches a row; the whole pipeline stays
-    inside whole-stage codegen (pinned in tests/test_plans.py).
+    per-token ``xxhash64``, and the per-bit vote LANE-PACKED: each of 32
+    longs carries two 32-bit lanes of 0/1-bit counts, so the hot
+    aggregation updates 33 buffers per token instead of 65 (bit b set
+    iff 2*ones_b > n — identical output to the ±1-sum formulation,
+    pinned by test against an independent Python bit-vote). A 32-bit
+    lane cannot overflow: lane sums are bounded by a doc's token count,
+    and a 2 GB string (Spark's cap) splits into < 2^31 tokens. Partial-
+    aggregated map-side, one shuffle on doc_id; the sign bits pack into
+    a signed int64 from two 32-bit halves (shift-OR — shifts are not
+    overflow-checked, so the plan also survives a foreign ANSI-on
+    session). No Python touches a row; the whole pipeline stays inside
+    whole-stage codegen (pinned in tests/test_plans.py).
 
     Same structure as the md5 ``simhash64`` pandas UDF but a different
     hash family — sim values are NOT comparable across the two. Null text
@@ -262,14 +268,24 @@ def simhash64_native(df: DataFrame, *, text_col: str = "text") -> DataFrame:
         F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
     ).where(F.col("tok") != "")
     h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
-    vote = [
-        F.sum(
-            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-        ).alias(f"v{b}")
-        for b in range(64)
+    packs = [
+        (
+            F.shiftright(F.col("h"), 2 * k).bitwiseAND(F.lit(1)).cast("long")
+            + F.shiftleft(
+                F.shiftright(F.col("h"), 2 * k + 1).bitwiseAND(F.lit(1)).cast("long"),
+                32,
+            )
+        ).alias(f"p{k}")
+        for k in range(32)
     ]
-    votes = h.groupBy("doc_id").agg(*vote)
-    bit = lambda b: F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    votes = h.select("doc_id", *packs).groupBy("doc_id").agg(
+        F.count("*").alias("n"), *[F.sum(f"p{k}").alias(f"p{k}") for k in range(32)]
+    )
+
+    def bit(b):
+        k, j = divmod(b, 2)
+        ones = F.shiftright(F.col(f"p{k}"), 32 * j).bitwiseAND(F.lit(0xFFFFFFFF))
+        return F.when(ones * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0)).cast("long")
     lo = sum((F.shiftleft(bit(b), b) for b in range(1, 32)), F.shiftleft(bit(0), 0))
     hi = sum((F.shiftleft(bit(b), b - 32) for b in range(33, 64)), F.shiftleft(bit(32), 0))
     packed = votes.select("doc_id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("sim"))

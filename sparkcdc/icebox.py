@@ -1077,6 +1077,41 @@ class IceboxTable:
             "tags", lambda regs: {k: v for k, v in regs.items() if k != name}
         )
 
+    def describe(self) -> dict:
+        """Operator health snapshot, all from metadata (zero Spark jobs):
+        layout (buckets, files by kind, rows/bytes, read-amplification
+        ratio), retention (snapshots held, oldest pin), and per-consumer
+        lag in snapshots — the first things an on-call looks at on a
+        100 TB table before deciding to compact, rebucket, or expire."""
+        self.refresh()
+        snap = self._snap
+        entries = snap["manifest"]
+        n_delta = sum(1 for e in entries if e.get("kind") == "delta")
+        by_bucket: dict[int, int] = {}
+        for e in entries:
+            by_bucket[e["bucket"]] = by_bucket.get(e["bucket"], 0) + 1
+        sid = snap["snapshot_id"]
+        held = self._history_ids()
+        regs = self.consumers()
+        return {
+            "snapshot_id": sid,
+            "n_buckets": snap.get("n_buckets"),
+            "files": len(entries),
+            "delta_files": n_delta,
+            "base_files": len(entries) - n_delta,
+            # worst per-bucket file count — the read-amplification number
+            # compaction exists to bound
+            "max_files_per_bucket": max(by_bucket.values(), default=0),
+            "rows": sum(e["rows"] for e in entries),
+            "bytes": sum(e.get("bytes", 0) for e in entries),
+            "snapshots_held": len(held),
+            "oldest_snapshot": min(held, default=sid),
+            # snapshots each incremental reader still has to fold; a
+            # growing lag pins old snapshots against expiration
+            "consumer_lag": {name: sid - pin for name, pin in regs.items()},
+            "tags": self.tags(),
+        }
+
     def expire_snapshots(
         self,
         *,

@@ -142,6 +142,21 @@ def pack_documents(
     )
 
 
+def epoch_order(chunks: DataFrame, seed: int, *, key_col: str = "pack_id") -> DataFrame:
+    """Deterministic training-epoch shuffle: order chunks by
+    ``xxhash64(key, seed)`` with the key itself as the tie-break — a TOTAL
+    order that is a pure function of (key, seed), so every epoch's
+    permutation is identical across reruns, cluster shapes, and partition
+    counts (``df.sample``/``rand()`` are not), and a resumed training job
+    can seek back to an exact position. A new seed is a statistically
+    independent permutation. Physically one range-partitioned sort —
+    Spark's parallel sort-shuffle, no driver collect, no skew (hashes are
+    uniform) — which IS the right plan at 100 TB: a \"shuffle buffer\"
+    approximates this order; the sort produces it exactly."""
+    h = F.xxhash64(F.col(key_col), F.lit(int(seed)))
+    return chunks.orderBy(h, F.col(key_col))
+
+
 _PACK_META_NAME = "packidx.json"
 
 

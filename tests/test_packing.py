@@ -322,3 +322,37 @@ def test_packed_table_load_roundtrip(spark, tmp_path, pk_source):
     assert (pt2.seq_len, pt2.tokens_col, pt2.shard_col) == (64, "text", "source")
     assert pt2.refresh_from(pk_source)["skipped"] is True
     assert _got_chunks(pt2) == _expected_chunks(pk_source.read())
+
+
+def test_epoch_order_is_deterministic_and_seed_dependent(spark):
+    """epoch_order is a pure function of (key, seed): identical across
+    partition layouts and reruns; a different seed gives a different
+    (but equally deterministic) permutation; content is conserved."""
+    from sparkcdc.packing import epoch_order
+
+    rows = [(f"s{i % 4}:{i}", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "pack_id string, payload int")
+    o1 = [r.pack_id for r in epoch_order(df, 7).collect()]
+    o1b = [r.pack_id for r in epoch_order(df.repartition(13), 7).collect()]
+    o1c = [r.pack_id for r in epoch_order(df.coalesce(1), 7).collect()]
+    assert o1 == o1b == o1c
+    o2 = [r.pack_id for r in epoch_order(df, 8).collect()]
+    assert o2 != o1 and sorted(o2) == sorted(o1)
+    # resume position is stable: the k-th element is the same on rerun
+    assert epoch_order(df, 7).collect()[123].pack_id == o1[123]
+
+
+def test_icebox_describe_reports_layout_and_lag(spark, tmp_path, pk_source):
+    docs = _pk_docs(spark).limit(40)
+    pk_source.merge(_pk_log(docs), "b1")
+    pt = _mk_packed(spark, tmp_path)
+    pt.refresh_from(pk_source)
+    d = pk_source.describe()
+    assert d["rows"] == 40 and d["files"] > 0 and d["n_buckets"] == 8
+    assert d["consumer_lag"] == {"packed": 0}  # just synced
+    pk_source.merge(_pk_log(docs.limit(5), seq_base=500_000), "b2")
+    d2 = pk_source.describe()
+    assert d2["consumer_lag"]["packed"] == 1  # one snapshot behind
+    assert d2["snapshot_id"] == d["snapshot_id"] + 1
+    pt.refresh_from(pk_source)
+    assert pk_source.describe()["consumer_lag"]["packed"] == 0
