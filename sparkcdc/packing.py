@@ -157,6 +157,47 @@ def epoch_order(chunks: DataFrame, seed: int, *, key_col: str = "pack_id") -> Da
     return chunks.orderBy(h, F.col(key_col))
 
 
+def export_training_set(
+    chunks: DataFrame,
+    out_path: str,
+    *,
+    seed: int,
+    rates: dict[str, float] | None = None,
+    val_frac: float | None = None,
+    key_col: str = "pack_id",
+    source_col: str = "shard",
+    default_rate: float = 0.0,
+) -> dict:
+    """The pipeline's training-ready tail: (optional) deterministic mix
+    sampling per shard → (optional) train/val split → epoch-ordered
+    parquet export. Every stage is a pure function of (key, seed), so two
+    exports of the same inputs are ROW-IDENTICAL regardless of cluster
+    shape — the property a 100 TB ablation rerun needs.
+
+    The write carries ``epoch_pos`` (the xxhash64 order key): readers
+    consume files in name order for the epoch permutation, or re-sort /
+    range-seek by ``epoch_pos`` to resume mid-epoch without trusting
+    file layout. Returns ``{"rows", "out_path"}``."""
+    from .mix import sample_by_rates, with_split
+
+    df = chunks
+    if rates is not None:
+        df = sample_by_rates(
+            df, rates, source_col=source_col, key_col=key_col,
+            seed=f"mix{seed}", default_rate=default_rate,
+        )
+    if val_frac is not None:
+        df = with_split(df, val_frac=val_frac, key_col=key_col,
+                        seed=f"split{seed}")
+    ordered = epoch_order(df, seed, key_col=key_col).withColumn(
+        "epoch_pos", F.xxhash64(F.col(key_col), F.lit(int(seed)))
+    )
+    ordered.write.mode("overwrite").parquet(out_path)
+    spark = chunks.sparkSession
+    n = spark.read.parquet(out_path).count()
+    return {"rows": n, "out_path": out_path}
+
+
 _PACK_META_NAME = "packidx.json"
 
 

@@ -356,3 +356,52 @@ def test_icebox_describe_reports_layout_and_lag(spark, tmp_path, pk_source):
     assert d2["snapshot_id"] == d["snapshot_id"] + 1
     pt.refresh_from(pk_source)
     assert pk_source.describe()["consumer_lag"]["packed"] == 0
+
+
+def test_export_training_set_is_cluster_shape_invariant(spark, tmp_path):
+    """mix + split + epoch order are all pure functions of (key, seed):
+    two exports under different partitionings yield identical row sets
+    with identical epoch positions; sort-by-epoch_pos reproduces
+    epoch_order; the split never correlates with the sample draw."""
+    from sparkcdc.mix import sample_by_rates, with_split
+    from sparkcdc.packing import epoch_order, export_training_set
+
+    rows = [(f"s{i % 3}:{i}", f"s{i % 3}", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "pack_id string, shard string, payload int")
+    rates = {"s0": 1.0, "s1": 0.5}
+
+    m1 = export_training_set(df, str(tmp_path / "e1"), seed=11,
+                             rates=rates, val_frac=0.2)
+    m2 = export_training_set(df.repartition(17), str(tmp_path / "e2"),
+                             seed=11, rates=rates, val_frac=0.2)
+    r1 = spark.read.parquet(str(tmp_path / "e1"))
+    r2 = spark.read.parquet(str(tmp_path / "e2"))
+    rows1 = sorted(tuple(r) for r in r1.collect())
+    assert rows1 == sorted(tuple(r) for r in r2.collect()) and rows1
+    assert m1["rows"] == m2["rows"] == len(rows1)
+
+    # the exported set == sample_by_rates (s2 gets default_rate=0)
+    expect_ids = sorted(
+        r.pack_id for r in sample_by_rates(
+            df, rates, source_col="shard", key_col="pack_id", seed="mix11"
+        ).collect()
+    )
+    assert sorted(r.pack_id for r in r1.collect()) == expect_ids
+    assert not [r for r in r1.collect() if r.shard == "s2"]
+
+    # epoch_pos sort == epoch_order of the sampled slice
+    by_pos = [r.pack_id for r in r1.orderBy("epoch_pos", "pack_id").collect()]
+    sampled = sample_by_rates(df, rates, source_col="shard",
+                              key_col="pack_id", seed="mix11")
+    want = [r.pack_id for r in epoch_order(sampled, 11).collect()]
+    assert by_pos == want
+
+    # split column matches the independent with_split draw
+    splits = {r.pack_id: r.split for r in r1.collect()}
+    want_splits = {
+        r.pack_id: r.split
+        for r in with_split(sampled, val_frac=0.2, key_col="pack_id",
+                            seed="split11").collect()
+    }
+    assert splits == {k: want_splits[k] for k in splits}
+    assert set(splits.values()) == {"train", "val"}
