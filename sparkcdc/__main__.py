@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--packed-seq-len", type=int, default=2048)
     p.add_argument("--packed-tokens-col", default="text")
     p.add_argument("--packed-shard-col", default="source")
+    p.add_argument("--export-training", default=None, metavar="PATH",
+                   help="after the replay, export the packed table as an "
+                        "epoch-ordered training set at PATH (requires "
+                        "--packed)")
+    p.add_argument("--export-seed", type=int, default=0)
+    p.add_argument("--export-val-frac", type=float, default=None)
     p.add_argument("--audit-check", action="append", default=None,
                    metavar="SPEC", dest="audit_checks",
                    help="write-audit-publish gate (repeatable): stage each "
@@ -143,6 +149,16 @@ def main(argv: list[str] | None = None) -> int:
         totals = engine.metrics.totals()
         print(json.dumps({"kind": "totals", **totals,
                           "table_rows": engine.read_table().count()}))
+        if args.export_training:
+            if engine.packed is None:
+                raise ConfigError("--export-training requires --packed")
+            from .packing import export_training_set
+
+            exp = export_training_set(
+                engine.packed.chunks(), args.export_training,
+                seed=args.export_seed, val_frac=args.export_val_frac,
+            )
+            print(json.dumps({"kind": "export", **exp}))
     except ConfigError as e:
         # C10: human-readable error surface (client/JiraClient.java:181-194)
         print(json.dumps({"kind": "error",

@@ -1102,6 +1102,9 @@ class IceboxTable:
             # worst per-bucket file count — the read-amplification number
             # compaction exists to bound
             "max_files_per_bucket": max(by_bucket.values(), default=0),
+            # PHYSICAL rows (delta rows not yet LWW-resolved count too) —
+            # logical row count would need a scan, and the physical/
+            # logical gap is itself the compaction-debt signal
             "rows": sum(e["rows"] for e in entries),
             "bytes": sum(e.get("bytes", 0) for e in entries),
             "snapshots_held": len(held),
