@@ -405,3 +405,99 @@ def test_export_training_set_is_cluster_shape_invariant(spark, tmp_path):
     }
     assert splits == {k: want_splits[k] for k in splits}
     assert set(splits.values()) == {"train", "val"}
+
+
+def test_packed_table_widens_with_source_token_evolution(spark, tmp_path):
+    """T6 mid-stream schema evolution reaching a derived table: when the
+    source widens array<int> tokens to array<long>, the packed table
+    widens FIRST — merging wide values into the frozen schema would
+    silently wrap them (the probe that found this: 2^40 tokens came back
+    as 0 and 1). A non-widening change raises instead of corrupting."""
+    V1 = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("source", T.StringType()),
+    ])
+    V2 = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.LongType())),
+        T.StructField("source", T.StringType()),
+    ])
+    src = IceboxTable.create(spark, str(tmp_path / "wdocs"), V1, n_buckets=2)
+    rows = [(i, [i, i + 1, i + 2], f"s{i % 2}") for i in range(20)]
+    src.merge(
+        spark.createDataFrame(rows, V1).select(
+            "*", F.col("doc_id").alias("seq"), F.lit("upsert").alias("op")
+        ),
+        "b1",
+    )
+    pt = PackedTable.create(
+        spark, str(tmp_path / "wpk"), seq_len=4, token_type=T.IntegerType(),
+        tokens_col="tokens", shard_col="source", n_buckets=2,
+    )
+    pt.refresh_from(src)
+    src.update_schema(V2)
+    src.merge(
+        spark.createDataFrame([(100, [2**40, 2**40 + 1], "s0")], V2).select(
+            "*", F.lit(10**9).cast("long").alias("seq"),
+            F.lit("upsert").alias("op"),
+        ),
+        "b2",
+    )
+    pt.refresh_from(src)
+    assert pt.table.schema["tokens"].dataType.elementType.simpleString() == "bigint"
+    flat = {
+        t for r in pt.chunks().where(F.col("shard") == "s0").collect()
+        for t in r.tokens
+    }
+    assert 2**40 in flat and 2**40 + 1 in flat  # survived intact
+    # full equivalence with a one-shot pack of the evolved corpus
+    got = sorted(
+        tuple(r) for r in pt.chunks().select("shard", "seq_id", "tokens").collect()
+    )
+    from sparkcdc.packing import pack_sequences
+    want = sorted(
+        tuple(r) for r in pack_sequences(
+            src.read().select(
+                F.col("source").alias("shard"), F.col("doc_id").alias("_pid"),
+                F.col("tokens").alias("_ptoks"),
+            ),
+            4, tokens_col="_ptoks", id_col="_pid", shard_col="shard",
+        ).select("shard", "seq_id", "tokens").collect()
+    )
+    assert got == want
+    # a NON-widening evolution raises instead of corrupting
+    V3 = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("source", T.StringType()),
+    ])
+    src.update_schema(V3)
+    with pytest.raises(ValueError, match="not a widening"):
+        pt.refresh_from(src)
+
+
+def test_consumers_survive_source_column_add(spark, tmp_path, pk_source):
+    """A column ADDED to the source mid-stream is invisible to both the
+    packed table and the signature index (their projections don't touch
+    it); maintenance keeps matching full recomputes."""
+    docs = _pk_docs(spark)
+    pk_source.merge(_pk_log(docs.where(F.col("doc_id") % 2 == 0)), "b1")
+    pt = _mk_packed(spark, tmp_path)
+    pt.refresh_from(pk_source)
+
+    evolved = T.StructType(
+        list(DOC_SCHEMA.fields) + [T.StructField("lang", T.StringType())]
+    )
+    pk_source.update_schema(evolved)
+    b2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "source", F.lit("xx").alias("lang"),
+        (F.col("doc_id") + F.lit(500_000)).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+    )
+    pk_source.merge(b2, "b2")
+    m = pt.refresh_from(pk_source)
+    assert m["applied_shards"] > 0
+    assert _got_chunks(pt) == _expected_chunks(
+        pk_source.read().select("doc_id", "text", "source")
+    )

@@ -547,3 +547,35 @@ def test_simhash_index_probe_plan_scale_shape(spark, tmp_path, doc_table):
     assert "BroadcastHashJoin" in plan
     assert doc_table.path not in plan
     assert "ArrowEvalPython" not in plan  # maintenance AND probe stay native
+
+
+def test_sigindex_survives_source_column_add(spark, tmp_path):
+    """Mid-stream source schema evolution (added column) flows through
+    read_changes' forward-normalization; the index keeps matching the
+    recompute over the evolved corpus."""
+    docs = _docs(spark)
+    src = IceboxTable.create(
+        spark, str(tmp_path / "edocs"), DOC_SCHEMA, n_buckets=4
+    )
+    idx = SignatureIndex.create(
+        spark, str(tmp_path / "esig"), n_buckets=4, key_type=T.LongType()
+    )
+    src.merge(_as_log(docs.where(F.col("doc_id") % 2 == 0)), "b1")
+    idx.refresh_from(src)
+
+    evolved = T.StructType(
+        list(DOC_SCHEMA.fields) + [T.StructField("extra", T.LongType())]
+    )
+    src.update_schema(evolved)
+    b2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", F.lit(7).cast("long").alias("extra"),
+        (F.col("doc_id") + F.lit(500_000)).cast("long").alias("seq"),
+        F.lit("upsert").alias("op"),
+    )
+    src.merge(b2, "b2")
+    m = idx.refresh_from(src)
+    assert m["applied_events"] > 0
+    corpus = src.read().select("doc_id", "text")
+    assert _sorted_rows(idx.signatures().select("doc_id", "mh_0")) == _sorted_rows(
+        minhash_signatures(corpus).select("doc_id", "mh_0")
+    )
