@@ -1379,7 +1379,7 @@ class IceboxTable:
         *,
         drop_tombstones: bool | None = None,
         max_buckets: int | None = None,
-        cluster_by: str | None = None,
+        cluster_by: str | list | None = None,
         max_file_rows: int | None = None,
         conflict_retries: int = 3,
     ) -> dict:
@@ -1433,7 +1433,7 @@ class IceboxTable:
         *,
         drop_tombstones: bool | None,
         max_buckets: int | None = None,
-        cluster_by: str | None = None,
+        cluster_by: str | list | None = None,
         max_file_rows: int | None = None,
     ) -> dict:
         snap = self._snap
@@ -1498,11 +1498,19 @@ class IceboxTable:
         out_path = os.path.join(self.path, commit_dir)
         # cluster within each bucket (default: by key, so point lookups get
         # tight row-group/file key ranges; cluster_by switches the sort
-        # order to a stat column for range-scan file skipping instead)
-        sort_col = cluster_by if cluster_by is not None else self.key
+        # order to a stat column for range-scan file skipping instead; a
+        # LIST of 2+ numeric columns interleaves them on a Z-order curve,
+        # bounding every file's range in EVERY listed dimension — a
+        # lexicographic sort only discriminates its leading column)
+        if isinstance(cluster_by, (list, tuple)) and len(cluster_by) > 1:
+            sort_expr = self._zorder_expr(df, list(cluster_by))
+        elif isinstance(cluster_by, (list, tuple)):
+            sort_expr = F.col(cluster_by[0])
+        else:
+            sort_expr = F.col(cluster_by if cluster_by is not None else self.key)
         writer = (
             df.repartition(self.n_buckets, F.col(self.key))
-            .sortWithinPartitions("_bucket", sort_col)
+            .sortWithinPartitions("_bucket", sort_expr)
             .write.partitionBy("_bucket")
             .mode("overwrite")
         )
@@ -1532,6 +1540,51 @@ class IceboxTable:
             }
         )
         return metrics
+
+    def _zorder_expr(self, df: DataFrame, cols: list):
+        """64-bit Z-value over up to 8 numeric/timestamp columns: each
+        column is range-binned into 256 buckets (8 bits) between its
+        min/max over the rows being rewritten, and the bit planes are
+        interleaved so sort locality is shared across ALL the columns.
+        Bounds come from one aggregation over the rewrite input — a
+        second pass over data already being rewritten, which keeps the
+        binning correct for any type (incl. timestamps) without trusting
+        manifest stat encodings. Nulls and constant columns bin to 0."""
+        if len(cols) > 8:
+            raise ValueError(f"z-order supports at most 8 columns, got {len(cols)}")
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.TimestampType, T.DateType,
+        )
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, numeric):
+                raise ValueError(
+                    f"z-order column {c!r} must be numeric/timestamp, got "
+                    f"{df.schema[c].dataType.simpleString()}"
+                )
+        aggs = []
+        for c in cols:
+            v = F.col(c).cast("double")
+            aggs += [F.min(v).alias(f"lo_{c}"), F.max(v).alias(f"hi_{c}")]
+        bounds = df.agg(*aggs).first()
+        k = len(cols)
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or hi is None or lo == hi:
+                continue  # all-null or constant: contributes no bits
+            b256 = F.width_bucket(
+                F.col(c).cast("double"), F.lit(float(lo)), F.lit(float(hi)),
+                F.lit(256),
+            )
+            v = F.coalesce(F.least(b256 - 1, F.lit(255)), F.lit(0)).cast("long")
+            for b in range(8):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(v, b).bitwiseAND(F.lit(1)), b * k + i
+                    )
+                )
+        return z
 
     def rebucket(self, new_n_buckets: int, *, conflict_retries: int = 3) -> dict:
         """Partition evolution: rewrite the table into a new hash-bucket

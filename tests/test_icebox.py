@@ -1104,3 +1104,60 @@ def test_in_filter_prunes_files_and_matches_isin(spark, tmp_path):
     )
     scanned = {os.path.relpath(f.replace("file:", ""), t.path) for f in out.inputFiles()}
     assert len(scanned) < len(t.snapshot["manifest"])
+
+
+def test_zorder_compaction_skips_files_on_both_dimensions(spark, tmp_path):
+    """cluster_by=[a, b] interleaves the two columns on a Z-order curve:
+    a filter on the SECOND column alone still file-skips, which a
+    lexicographic sort by the first column cannot do (every file spans
+    all of b). Same rows, same filters — only the layout differs."""
+    import os
+
+    schema2 = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (f"d{i:05d}", i // 64, i % 64, i + 1, "upsert") for i in range(4096)
+    ]
+    in_schema = "doc_id: string, a: int, b: int, seq: long, op: string"
+
+    def scanned(t, filters):
+        out = t.read(filters=filters)
+        return {
+            os.path.relpath(f.replace("file:", ""), t.path)
+            for f in out.inputFiles()
+        }
+
+    lex = IceboxTable.create(spark, str(tmp_path / "lex"), schema2, n_buckets=1)
+    lex.merge(spark.createDataFrame(rows, in_schema), "b1")
+    lex.compact(cluster_by="a", max_file_rows=256)
+
+    zo = IceboxTable.create(spark, str(tmp_path / "zo"), schema2, n_buckets=1)
+    zo.merge(spark.createDataFrame(rows, in_schema), "b1")
+    zo.compact(cluster_by=["a", "b"], max_file_rows=256)
+
+    n_files = len(zo.snapshot["manifest"])
+    assert n_files >= 8  # 4096 rows / 256-row files
+
+    flt_b = [("b", "between", (0, 7))]
+    # correctness first: both layouts return identical rows
+    want = sorted(r.doc_id for r in lex.read(filters=flt_b).collect())
+    assert sorted(r.doc_id for r in zo.read(filters=flt_b).collect()) == want
+    assert len(want) == 4096 // 8
+    # lexicographic-by-a: every file spans all of b -> no skipping
+    assert len(scanned(lex, flt_b)) == len(lex.snapshot["manifest"])
+    # z-order: the b-range is bounded per file -> real skipping
+    assert len(scanned(zo, flt_b)) <= n_files // 2
+    # and the leading dimension still skips too
+    flt_a = [("a", "between", (0, 7))]
+    assert len(scanned(zo, flt_a)) <= n_files // 2
+    assert sorted(r.doc_id for r in zo.read(filters=flt_a).collect()) == sorted(
+        r.doc_id for r in lex.read(filters=flt_a).collect()
+    )
+    # non-numeric z-order column is rejected
+    with pytest.raises(ValueError, match="numeric"):
+        zo.compact(cluster_by=["doc_id", "a"])
