@@ -178,6 +178,45 @@ class IncrementalIndex:
         return {**m, "from_snapshot": from_sid, "to_snapshot": to_sid}
 
 
+def consume_changes(
+    src_table: IceboxTable,
+    consumer: str,
+    apply_fn,
+    *,
+    mode: str = "net",
+) -> dict:
+    """The consumer-window machinery as a PUBLIC primitive: feed a
+    user-defined downstream sink from the table's change feed with the
+    same discipline the built-in consumers (SignatureIndex, VectorIndex,
+    NgramIndex, PackedTable) use — the registry pins the from-snapshot
+    (expiration can never break the feed), the window is
+    ``read_changes(from=last-synced)`` in ``mode`` ("net" or "cdf"), and
+    the pin advances ONLY after ``apply_fn`` returns.
+
+    ``apply_fn(changes_df, from_sid, to_sid)`` — a crash before the pin
+    advance replays the SAME (from, to) window on the next call, so
+    end-to-end semantics are exactly-once iff the sink is idempotent per
+    window (e.g. keyed by the (from, to) pair — the icebox MERGE batch-id
+    convention) and at-least-once otherwise. Returns the window metadata
+    plus whatever dict ``apply_fn`` returned."""
+
+    class _Shim(IncrementalIndex):
+        def __init__(self):
+            pass
+
+    shim = _Shim()
+    from_sid, to_sid, ch = shim._window(src_table, consumer=consumer, mode=mode)
+    if ch is None:
+        return {"skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid}
+    out = apply_fn(ch, from_sid, to_sid)
+    shim._advance(src_table, consumer, from_sid, to_sid)
+    return {
+        **(out if isinstance(out, dict) else {}),
+        "from_snapshot": from_sid,
+        "to_snapshot": to_sid,
+    }
+
+
 class SignatureIndex(IncrementalIndex):
     """Persistent MinHash signature index over a document corpus.
 

@@ -579,3 +579,52 @@ def test_sigindex_survives_source_column_add(spark, tmp_path):
     assert _sorted_rows(idx.signatures().select("doc_id", "mh_0")) == _sorted_rows(
         minhash_signatures(corpus).select("doc_id", "mh_0")
     )
+
+
+def test_consume_changes_public_consumer_api(spark, tmp_path, doc_table):
+    """consume_changes gives arbitrary downstream sinks the built-in
+    consumers' discipline: bootstrap window = whole corpus, steady-state
+    window = only the changes, crash-before-advance replays the SAME
+    window, up-to-date call is a skipped no-op, and the registry pin
+    tracks the sink."""
+    from sparkcdc.sigindex import consume_changes
+
+    docs = _docs(spark)
+    doc_table.merge(_as_log(docs.where(F.col("doc_id") % 2 == 0)), "b1")
+    seen: list[tuple] = []
+
+    def sink(ch, from_sid, to_sid):
+        rows = ch.where(F.col("_change") == "upsert").count()
+        seen.append((from_sid, to_sid, rows))
+        return {"rows": rows}
+
+    m1 = consume_changes(doc_table, "myfeed", sink)
+    assert m1["rows"] == 250 and seen[-1][2] == 250
+    assert doc_table.consumers()["myfeed"] == doc_table.snapshot["snapshot_id"]
+    # up to date → skip, sink not called
+    assert consume_changes(doc_table, "myfeed", sink)["skipped"] is True
+    assert len(seen) == 1
+
+    doc_table.merge(_as_log(docs.where(F.col("doc_id") % 2 == 1),
+                            seq_base=100_000), "b2")
+
+    # crash INSIDE the sink: pin does not advance, window replays verbatim
+    def crashing(ch, from_sid, to_sid):
+        raise RuntimeError("sink crash")
+
+    with pytest.raises(RuntimeError, match="sink crash"):
+        consume_changes(doc_table, "myfeed", crashing)
+    m2 = consume_changes(doc_table, "myfeed", sink)
+    assert m2["rows"] == 250
+    assert m2["from_snapshot"] == m1["to_snapshot"]
+    # cdf mode surfaces pre/post images to the sink
+    doc_table.merge(_as_log(docs.limit(1), seq_base=200_000), "b3")
+    kinds: set = set()
+    consume_changes(
+        doc_table, "myfeed",
+        lambda ch, a, b: kinds.update(
+            r[0] for r in ch.select("_change_type").distinct().collect()
+        ),
+        mode="cdf",
+    )
+    assert kinds == {"update_preimage", "update_postimage"}
