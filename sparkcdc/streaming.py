@@ -44,7 +44,9 @@ def run_streaming(
     import hashlib
     import os
 
-    static = spark.read.parquet(cfg.log_path)
+    from .changelog import read_log
+
+    static = read_log(spark, cfg.log_path, fmt=cfg.log_format)
     engine = CDCEngine(spark, cfg, log_df=static)
     run_ns = hashlib.sha256(
         os.path.abspath(checkpoint_dir).encode()
@@ -97,10 +99,13 @@ def run_streaming(
                 "applied_shards": ref.get("applied_shards", 0),
             })
 
+    reader = spark.readStream.schema(static.schema).option(
+        "maxFilesPerTrigger", str(cfg.stream_max_files_per_trigger)
+    )
     stream = (
-        spark.readStream.schema(static.schema)
-        .option("maxFilesPerTrigger", str(cfg.stream_max_files_per_trigger))
-        .parquet(cfg.log_path)
+        reader.json(cfg.log_path)
+        if cfg.log_format == "json"
+        else reader.parquet(cfg.log_path)
     )
     writer = (
         stream.writeStream.foreachBatch(apply)

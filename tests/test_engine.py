@@ -1335,3 +1335,21 @@ def test_packed_config_validation():
     with pytest.raises(ConfigError, match="packed_shard_col"):
         JobConfig(log_path="x", table_path="y", packed_path="p",
                   packed_shard_col="").validate()
+
+
+def test_streaming_json_lines_wal(spark, tmp_path):
+    """The streaming front-end accepts the JSON-lines WAL format too
+    (explicit schema, like the batch path): drains to the same state as
+    the batch replay of the same log."""
+    from sparkcdc.streaming import run_streaming
+
+    log = generate_changelog(spark, 2_000, 200, seed=43)
+    jdir = str(tmp_path / "sjwal")
+    log.write.json(jdir)
+    cfg = JobConfig(log_path=jdir, table_path=str(tmp_path / "sjtbl"),
+                    log_format="json", n_buckets=8)
+    totals = run_streaming(spark, cfg, checkpoint_dir=str(tmp_path / "sjck"))
+    assert totals["applied_events"] == 2_000
+    tbl = IceboxTable.load(spark, cfg.table_path)
+    expected = oracle.replay(log.toPandas())
+    oracle.assert_table_equal(tbl.read().toPandas(), expected)
