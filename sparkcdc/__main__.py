@@ -64,6 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--packed-seq-len", type=int, default=2048)
     p.add_argument("--packed-tokens-col", default="text")
     p.add_argument("--packed-shard-col", default="source")
+    p.add_argument("--key", default="doc_id",
+                   help="merge key column (vec_id for vector tables)")
+    p.add_argument("--vecindex", default=None, metavar="PATH",
+                   help="keep an ANN vector index at PATH in sync with the "
+                        "table (requires key=vec_id and an array vector "
+                        "column; --vecindex-dim needed on first creation)")
+    p.add_argument("--vecindex-vec-col", default="embedding")
+    p.add_argument("--vecindex-dim", type=int, default=None)
     p.add_argument("--export-training", default=None, metavar="PATH",
                    help="after the replay, export the packed table as an "
                         "epoch-ordered training set at PATH (requires "
@@ -133,6 +141,10 @@ def main(argv: list[str] | None = None) -> int:
             packed_seq_len=args.packed_seq_len,
             packed_tokens_col=args.packed_tokens_col,
             packed_shard_col=args.packed_shard_col,
+            key=args.key,
+            vecindex_path=args.vecindex,
+            vecindex_vec_col=args.vecindex_vec_col,
+            vecindex_dim=args.vecindex_dim,
             audit_checks=args.audit_checks,
             audit_on_fail=args.audit_on_fail,
         )

@@ -78,6 +78,15 @@ class JobConfig:
     packed_seq_len: int = 2048
     packed_tokens_col: str = "text"
     packed_shard_col: str = "source"
+    # continuous ANN-index maintenance for embedding-payload tables: when
+    # set, the engine keeps a VectorIndex at this path in sync with the
+    # table (bucket hashing for only the changed vectors). Requires
+    # key='vec_id' and an array vector column; ``vecindex_dim`` is needed
+    # only when the index does not exist yet (the plane family is frozen
+    # at creation).
+    vecindex_path: str | None = None
+    vecindex_vec_col: str = "embedding"
+    vecindex_dim: int | None = None
     # write-audit-publish quality gate: when set, every batch is STAGED
     # (invisible), audited with these checks against the would-be table
     # state, and only published if all pass (sparkcdc.audit). Specs are
@@ -144,6 +153,13 @@ class JobConfig:
                 raise ConfigError("packed_tokens_col could not be empty")
             if not self.packed_shard_col:
                 raise ConfigError("packed_shard_col could not be empty")
+        if self.vecindex_path is not None:
+            if not self.vecindex_path:
+                raise ConfigError("vecindex_path could not be empty")
+            if not self.vecindex_vec_col:
+                raise ConfigError("vecindex_vec_col could not be empty")
+            if self.vecindex_dim is not None and self.vecindex_dim < 1:
+                raise ConfigError("vecindex_dim must be greater than 0")
         if self.audit_on_fail not in ("abort", "quarantine"):
             raise ConfigError("audit_on_fail must be 'abort' or 'quarantine'")
         if self.audit_checks is not None:

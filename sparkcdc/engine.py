@@ -189,6 +189,38 @@ class CDCEngine:
                     tokens_col=cfg.packed_tokens_col,
                     shard_col=cfg.packed_shard_col,
                 )
+        self.vecindex = None
+        if cfg.vecindex_path:
+            import pyspark.sql.types as T
+
+            from .config import ConfigError
+            from .vecindex import VectorIndex
+
+            tbl_schema = self.table.schema
+            if cfg.key != "vec_id":
+                raise ConfigError(
+                    "continuous ANN-index maintenance requires key='vec_id' "
+                    "(the vector family's identity column)"
+                )
+            vdt = tbl_schema[cfg.vecindex_vec_col].dataType \
+                if cfg.vecindex_vec_col in tbl_schema.names else None
+            if not isinstance(vdt, T.ArrayType):
+                raise ConfigError(
+                    f"vecindex_vec_col {cfg.vecindex_vec_col!r} must be an "
+                    f"array column of the table payload {tbl_schema.names}"
+                )
+            if VectorIndex.table_exists(cfg.vecindex_path):
+                self.vecindex = VectorIndex.load(spark, cfg.vecindex_path)
+            else:
+                if cfg.vecindex_dim is None:
+                    raise ConfigError(
+                        "vecindex_dim is required to create a new vector "
+                        "index (the plane family is frozen at creation)"
+                    )
+                self.vecindex = VectorIndex.create(
+                    spark, cfg.vecindex_path, dim=cfg.vecindex_dim,
+                    key_type=tbl_schema[cfg.key].dataType,
+                )
 
     # ---------------- planning ----------------
 
@@ -463,6 +495,18 @@ class CDCEngine:
                     "from_snapshot": ref.get("from_snapshot"),
                     "to_snapshot": ref.get("to_snapshot"),
                     "applied_shards": ref.get("applied_shards", 0),
+                })
+            if self.vecindex is not None:
+                # continuous ANN-index maintenance: bucket-hash only the
+                # vectors this batch changed (vecindex.VectorIndex)
+                ref = self.vecindex.refresh_from(
+                    self.table, vec_col=self.cfg.vecindex_vec_col
+                )
+                self.metrics.emit({
+                    "kind": "vecindex-refresh",
+                    "from_snapshot": ref.get("from_snapshot"),
+                    "to_snapshot": ref.get("to_snapshot"),
+                    "applied_events": ref.get("applied_events", 0),
                 })
             if self.cfg.target_bucket_bytes:
                 # stats-driven partition evolution: bucket count doubles

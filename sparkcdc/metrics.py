@@ -30,13 +30,19 @@ class MetricsLog:
         return record
 
     def totals(self) -> dict:
-        applied = sum(r.get("applied_events", 0) for r in self.records)
-        range_w = sum(r.get("range_width", 0) for r in self.records)
-        dur = sum(r.get("duration_sec", 0.0) for r in self.records)
-        n_batches = sum(
-            1 for r in self.records
+        # ONLY replay batches count toward the headline: maintenance
+        # records (index-refresh, vecindex-refresh, packed-refresh,
+        # compact) carry their own applied_events/durations and summing
+        # them here double-counted the events a batch applied whenever
+        # continuous index maintenance was on
+        batch_recs = [
+            r for r in self.records
             if r.get("kind", "batch") in ("batch", "stream-batch")
-        )
+        ]
+        applied = sum(r.get("applied_events", 0) for r in batch_recs)
+        range_w = sum(r.get("range_width", 0) for r in batch_recs)
+        dur = sum(r.get("duration_sec", 0.0) for r in batch_recs)
+        n_batches = len(batch_recs)
         return {
             "batches": n_batches,
             "applied_events": applied,

@@ -98,6 +98,16 @@ def run_streaming(
                 "to_snapshot": ref.get("to_snapshot"),
                 "applied_shards": ref.get("applied_shards", 0),
             })
+        if engine.vecindex is not None:
+            ref = engine.vecindex.refresh_from(
+                engine.table, vec_col=cfg.vecindex_vec_col
+            )
+            engine.metrics.emit({
+                "kind": "vecindex-refresh",
+                "from_snapshot": ref.get("from_snapshot"),
+                "to_snapshot": ref.get("to_snapshot"),
+                "applied_events": ref.get("applied_events", 0),
+            })
 
     reader = spark.readStream.schema(static.schema).option(
         "maxFilesPerTrigger", str(cfg.stream_max_files_per_trigger)

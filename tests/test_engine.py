@@ -1353,3 +1353,87 @@ def test_streaming_json_lines_wal(spark, tmp_path):
     tbl = IceboxTable.load(spark, cfg.table_path)
     expected = oracle.replay(log.toPandas())
     oracle.assert_table_equal(tbl.read().toPandas(), expected)
+
+
+def test_engine_maintains_vecindex_continuously(spark, tmp_path):
+    """cfg.vecindex_path wires continuous ANN-index maintenance into the
+    replay loop for embedding-payload tables: after kill/resume the
+    index's top-k answers equal the brute-force recompute over the
+    table's current vectors."""
+    import pyspark.sql.types as T
+
+    from sparkcdc.ann import lsh_ann_topk
+    from sparkcdc.vecindex import VectorIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    wal = emb.select(
+        "vec_id", "embedding",
+        F.col("vec_id").cast("long").alias("seq"), F.lit("upsert").alias("op"),
+    )
+    wal_path = str(tmp_path / "vecwal")
+    wal.write.parquet(wal_path)
+
+    cfg = JobConfig(
+        log_path=wal_path, table_path=str(tmp_path / "vtbl"), n_buckets=8,
+        key="vec_id", batch_size=max(emb.count() // 2, 1),
+        vecindex_path=str(tmp_path / "vidx"), vecindex_dim=dim,
+    )
+    eng = CDCEngine(spark, cfg)
+    eng.run(max_batches=1)  # simulated kill after batch 1
+    eng2 = CDCEngine(spark, cfg)  # resume (index loaded, dim from meta)
+    eng2.run()
+
+    idx = VectorIndex.load(spark, cfg.vecindex_path)
+    got = sorted(
+        tuple(r) for r in idx.ann_topk(n_queries=5, k=10)
+        .select("query_id", "neighbor_id").collect()
+    )
+    corpus = eng2.table.read().select("vec_id", "embedding")
+    want = sorted(
+        tuple(r) for r in lsh_ann_topk(
+            corpus, n_queries=5, k=10,
+            n_planes=idx.n_planes, n_bands=idx.n_bands, seed=idx.seed,
+        ).select("query_id", "neighbor_id").collect()
+    )
+    assert got == want and got
+    refreshes = [r for r in eng2.metrics.records
+                 if r.get("kind") == "vecindex-refresh"]
+    assert refreshes
+    # validation: wrong key / missing dim rejected up front
+    with pytest.raises(ConfigError, match="vec_id"):
+        CDCEngine(spark, JobConfig(
+            log_path=wal_path, table_path=str(tmp_path / "vtbl2"),
+            vecindex_path=str(tmp_path / "vidx2"), vecindex_dim=dim,
+        ))
+
+
+def test_totals_exclude_maintenance_records(spark, tmp_path):
+    """Replay totals count ONLY batch records: continuous index/packed
+    maintenance emits its own applied_events, which used to double the
+    headline (a 3k-event replay with sigindex on reported ~6k)."""
+    from sparkcdc.changelog import generate_changelog, write_log_parquet
+
+    log = generate_changelog(spark, 2_000, 150, seed=99, dup_pct=0)
+    wal = log.select(
+        "seq", "op", "doc_id",
+        F.when(
+            F.col("tokens").isNotNull(),
+            F.concat_ws(" ", F.transform("tokens", lambda t: F.concat(F.lit("w"), t))),
+        ).alias("text"),
+        "source",
+    )
+    wal_path = str(tmp_path / "twal")
+    write_log_parquet(wal, wal_path)
+    cfg = JobConfig(
+        log_path=wal_path, table_path=str(tmp_path / "ttbl"), n_buckets=8,
+        batch_size=1_000, sigindex_path=str(tmp_path / "tsidx"),
+        packed_path=str(tmp_path / "tpk"), packed_seq_len=32,
+    )
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    totals = eng.metrics.totals()
+    assert totals["applied_events"] == 2_000  # not 4k/6k
+    assert totals["batches"] == 2
