@@ -28,9 +28,15 @@ Module map (see SURVEY.md §7):
     metrics       structured metrics
     textops       token counts / lang-ID / quality / fingerprints
     dedupe_docs   exact / Jaccard / MinHash-LSH / SimHash near-dup
-    sigindex      persistent MinHash index, change-feed maintained
+    sigindex      persistent MinHash index, change-feed maintained;
+                  consume_changes (public consumer-window API)
     vecindex      persistent LSH-ANN vector index, change-feed maintained
     ann           cosine top-k, multi-band LSH, IVF
+    decontam      benchmark n-gram decontamination + NgramIndex
+    packing       sequence packing; PackedTable (change-feed maintained),
+                  epoch_order, export_training_set
+    mix           deterministic mix sampling + train/val split
+    bloom         per-file key bloom sidecars
     multimodal    binary payloads + Arrow decode stage
     oracle        single-threaded pandas replay oracle (test-only)
 """
