@@ -432,13 +432,14 @@ def q_cdc_changes_cdf(spark, sf_dir):
 
 
 def q_cdc_cdf_incremental_agg(spark, sf_dir):
-    """The CDF consumed the way a downstream job would: per-source doc
-    count + token sum computed at snapshot 1, then maintained purely by
-    retract-and-apply over read_changes(mode="cdf") — pre-images/deletes
-    subtract, post-images/inserts add; a doc whose source changes moves
-    between groups via its pre/post pair. The maintained aggregate must
-    equal a direct aggregate of the final table (the oracle) without ever
-    re-reading the table."""
+    """The persistent materialized-rollup path (sparkcdc/aggview.py): a
+    per-source (count, sum, min, max) AggView maintained incrementally
+    from the table's change feed while the engine replays the log in
+    stages — additive aggregates by retract-and-apply arithmetic over the
+    CDF pre/post images, min/max by monotone update with a tie-triggered
+    per-group re-aggregate. The batch-incrementally maintained view must
+    equal the DuckDB full-recompute aggregate of the final LWW state."""
+    from sparkcdc.aggview import AggView
     from sparkcdc.config import JobConfig
     from sparkcdc.engine import CDCEngine
 
@@ -448,28 +449,36 @@ def q_cdc_cdf_incremental_agg(spark, sf_dir):
         batch_size=6000, n_buckets=16,
     )
     eng = CDCEngine(spark, cfg, log_df=_derived_log(spark, sf_dir))
+    view = None
+
+    def refresh():
+        nonlocal view
+        if view is None:
+            view = AggView.create(
+                spark, os.path.join(tbl, "view"),
+                group_cols=["source"],
+                aggs={
+                    "n_docs": ("count", None),
+                    "sum_tok": ("sum", "n_tok"),
+                    "min_tok": ("min", "n_tok"),
+                    "max_tok": ("max", "n_tok"),
+                },
+                source_schema=eng.table.schema,
+            )
+        view.refresh_from(eng.table)
+
+    # stage 1: first batch only, view synced; stage 2: the rest — the
+    # second refresh exercises the true incremental path (stored state +
+    # window delta + extremal re-aggregates for retracted extrema)
+    eng.run(max_batches=1)
+    refresh()
     eng.run()
-    base = (
-        eng.table.read(snapshot_id=1)
-        .groupBy("source")
-        .agg(F.count("*").alias("n"), F.sum("n_tok").alias("tok"))
-    )
-    cdf = eng.table.read_changes(1, mode="cdf")
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    delta = cdf.groupBy("source").agg(
-        F.sum(sign).alias("dn"),
-        F.sum(sign * F.col("n_tok")).alias("dtok"),
-    )
-    j = base.join(delta, "source", "full_outer")
-    return (
-        j.select(
-            "source",
-            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_docs"),
-            (F.coalesce("tok", F.lit(0)) + F.coalesce("dtok", F.lit(0))).alias("sum_tok"),
-        )
-        .where(F.col("n_docs") > 0)
+    refresh()
+    return view.read().select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_tok").cast("long").alias("sum_tok"),
+        "min_tok", "max_tok",
     )
 
 
@@ -1237,7 +1246,8 @@ def oracle_sql() -> dict[str, str]:
         # aggregate — retract-and-apply over pre/post images is lossless
         "cdc_cdf_incremental_agg": _FINAL_STATE_SQL + """
             SELECT source, COUNT(*) AS n_docs,
-                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+                   CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+                   MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
             FROM ranked WHERE rn = 1 AND op <> 'delete'
             GROUP BY source
         """,

@@ -31,6 +31,8 @@ Module map (see SURVEY.md §7):
     sigindex      persistent MinHash index, change-feed maintained;
                   consume_changes (public consumer-window API)
     vecindex      persistent LSH-ANN vector index, change-feed maintained
+    aggview       incremental materialized GROUP BY (IVM: retract-and-apply
+                  count/sum/avg; min/max monotone + tie-triggered re-agg)
     ann           cosine top-k, multi-band LSH, IVF
     decontam      benchmark n-gram decontamination + NgramIndex
     packing       sequence packing; PackedTable (change-feed maintained),

@@ -87,6 +87,15 @@ class JobConfig:
     vecindex_path: str | None = None
     vecindex_vec_col: str = "embedding"
     vecindex_dim: int | None = None
+    # continuous materialized-rollup maintenance: when set, the engine
+    # keeps an AggView (incremental GROUP BY over the table — count/sum/
+    # avg by retract-and-apply, min/max by monotone update + tie-triggered
+    # re-aggregate; sparkcdc.aggview) at this path in sync with the table.
+    # ``aggview_aggs`` maps output column -> [kind, source_col], e.g.
+    #   {"n_docs": ["count", null], "sum_tok": ["sum", "n_tok"]}
+    aggview_path: str | None = None
+    aggview_group_cols: list | None = None
+    aggview_aggs: dict | None = None
     # write-audit-publish quality gate: when set, every batch is STAGED
     # (invisible), audited with these checks against the would-be table
     # state, and only published if all pass (sparkcdc.audit). Specs are
@@ -160,6 +169,24 @@ class JobConfig:
                 raise ConfigError("vecindex_vec_col could not be empty")
             if self.vecindex_dim is not None and self.vecindex_dim < 1:
                 raise ConfigError("vecindex_dim must be greater than 0")
+        if self.aggview_path is not None:
+            if not self.aggview_path:
+                raise ConfigError("aggview_path could not be empty")
+            if not self.aggview_group_cols:
+                raise ConfigError(
+                    "aggview_group_cols is required with aggview_path"
+                )
+            if not self.aggview_aggs:
+                raise ConfigError("aggview_aggs is required with aggview_path")
+            for out, spec in self.aggview_aggs.items():
+                if (
+                    not isinstance(spec, (list, tuple)) or len(spec) != 2
+                    or spec[0] not in ("count", "sum", "min", "max", "avg")
+                ):
+                    raise ConfigError(
+                        f"aggview_aggs[{out!r}] must be [kind, source_col] "
+                        f"with kind in count/sum/min/max/avg, got {spec!r}"
+                    )
         if self.audit_on_fail not in ("abort", "quarantine"):
             raise ConfigError("audit_on_fail must be 'abort' or 'quarantine'")
         if self.audit_checks is not None:

@@ -189,6 +189,23 @@ class CDCEngine:
                     tokens_col=cfg.packed_tokens_col,
                     shard_col=cfg.packed_shard_col,
                 )
+        self.aggview = None
+        if cfg.aggview_path:
+            from .aggview import AggSpecError, AggView
+            from .config import ConfigError
+
+            if AggView.table_exists(cfg.aggview_path):
+                self.aggview = AggView.load(spark, cfg.aggview_path)
+            else:
+                try:
+                    self.aggview = AggView.create(
+                        spark, cfg.aggview_path,
+                        group_cols=list(cfg.aggview_group_cols),
+                        aggs={k: (v[0], v[1]) for k, v in cfg.aggview_aggs.items()},
+                        source_schema=self.table.schema,
+                    )
+                except AggSpecError as exc:
+                    raise ConfigError(f"aggview spec invalid: {exc}") from exc
         self.vecindex = None
         if cfg.vecindex_path:
             import pyspark.sql.types as T
@@ -504,6 +521,18 @@ class CDCEngine:
                 )
                 self.metrics.emit({
                     "kind": "vecindex-refresh",
+                    "from_snapshot": ref.get("from_snapshot"),
+                    "to_snapshot": ref.get("to_snapshot"),
+                    "applied_events": ref.get("applied_events", 0),
+                })
+            if self.aggview is not None:
+                # continuous rollup maintenance: retract-and-apply the
+                # batch's pre/post images into the materialized GROUP BY
+                # (aggview.AggView) — dashboards/mixing-weight jobs read a
+                # current aggregate without ever re-scanning the corpus
+                ref = self.aggview.refresh_from(self.table)
+                self.metrics.emit({
+                    "kind": "aggview-refresh",
                     "from_snapshot": ref.get("from_snapshot"),
                     "to_snapshot": ref.get("to_snapshot"),
                     "applied_events": ref.get("applied_events", 0),

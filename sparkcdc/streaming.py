@@ -108,6 +108,16 @@ def run_streaming(
                 "to_snapshot": ref.get("to_snapshot"),
                 "applied_events": ref.get("applied_events", 0),
             })
+        if engine.aggview is not None:
+            # continuous rollup maintenance, streaming form: a replayed
+            # epoch's refresh is a (from,to)-identical fenced no-op
+            ref = engine.aggview.refresh_from(engine.table)
+            engine.metrics.emit({
+                "kind": "aggview-refresh",
+                "from_snapshot": ref.get("from_snapshot"),
+                "to_snapshot": ref.get("to_snapshot"),
+                "applied_events": ref.get("applied_events", 0),
+            })
 
     reader = spark.readStream.schema(static.schema).option(
         "maxFilesPerTrigger", str(cfg.stream_max_files_per_trigger)
