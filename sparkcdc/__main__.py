@@ -87,6 +87,13 @@ def main(argv: list[str] | None = None) -> int:
                         "row_count:min_rows=1,max_shrink_frac=0.5, "
                         "null_fraction:col=source,max_frac=0.1, "
                         "token_repetition:max_dup_frac=0.9,max_bad_frac=0")
+    p.add_argument("--bootstrap", default=None, metavar="PATH",
+                   help="parquet dump of the full source state: loaded as the "
+                        "first commit (snapshot-then-tail), WAL applied only "
+                        "strictly above the watermark LSN")
+    p.add_argument("--bootstrap-lsn", type=int, default=None, metavar="LSN",
+                   help="the dump's watermark LSN (default: derived from the "
+                        "dump's seq-column parquet footers)")
     p.add_argument("--audit-on-fail", default="abort",
                    choices=["abort", "quarantine"],
                    help="failed-audit policy: abort the run (default) or "
@@ -147,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
             vecindex_dim=args.vecindex_dim,
             audit_checks=args.audit_checks,
             audit_on_fail=args.audit_on_fail,
+            bootstrap_path=args.bootstrap,
+            bootstrap_lsn=args.bootstrap_lsn,
         )
         engine = CDCEngine(spark, cfg)
         if args.preview:

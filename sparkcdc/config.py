@@ -96,6 +96,15 @@ class JobConfig:
     aggview_path: str | None = None
     aggview_group_cols: list | None = None
     aggview_aggs: dict | None = None
+    # initial-snapshot-then-tail bootstrap (the classic CDC cold start —
+    # Debezium's "snapshot then stream"): a parquet dump of the FULL
+    # source state as of a watermark LSN, loaded as the table's first
+    # commit; WAL tailing then starts strictly above the watermark, so a
+    # retention-truncated WAL (no events at or below it) replays
+    # correctly. The watermark is ``bootstrap_lsn``, or — when the dump
+    # carries the ``seq_col`` column — its parquet-footer max (zero-job).
+    bootstrap_path: str | None = None
+    bootstrap_lsn: int | None = None
     # write-audit-publish quality gate: when set, every batch is STAGED
     # (invisible), audited with these checks against the would-be table
     # state, and only published if all pass (sparkcdc.audit). Specs are
@@ -187,6 +196,13 @@ class JobConfig:
                         f"aggview_aggs[{out!r}] must be [kind, source_col] "
                         f"with kind in count/sum/min/max/avg, got {spec!r}"
                     )
+        if self.bootstrap_path is not None and not self.bootstrap_path:
+            raise ConfigError("bootstrap_path could not be empty")
+        if self.bootstrap_lsn is not None:
+            if self.bootstrap_path is None:
+                raise ConfigError("bootstrap_lsn requires bootstrap_path")
+            if self.bootstrap_lsn < 0:
+                raise ConfigError("bootstrap_lsn must be >= 0")
         if self.audit_on_fail not in ("abort", "quarantine"):
             raise ConfigError("audit_on_fail must be 'abort' or 'quarantine'")
         if self.audit_checks is not None:
