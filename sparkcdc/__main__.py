@@ -94,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bootstrap-lsn", type=int, default=None, metavar="LSN",
                    help="the dump's watermark LSN (default: derived from the "
                         "dump's seq-column parquet footers)")
+    p.add_argument("--dlq", default=None, metavar="PATH",
+                   help="dead-letter queue: quarantine malformed WAL events "
+                        "(null key/op/seq) to parquet here instead of "
+                        "polluting the table or losing them silently")
     p.add_argument("--audit-on-fail", default="abort",
                    choices=["abort", "quarantine"],
                    help="failed-audit policy: abort the run (default) or "
@@ -156,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
             audit_on_fail=args.audit_on_fail,
             bootstrap_path=args.bootstrap,
             bootstrap_lsn=args.bootstrap_lsn,
+            dlq_path=args.dlq,
         )
         engine = CDCEngine(spark, cfg)
         if args.preview:

@@ -159,6 +159,50 @@ def max_seq_parquet_stats(path: str, *, seq_col: str = "seq") -> int | None:
     return max(vals)
 
 
+def null_counts_parquet_stats(path: str, cols: list[str]) -> dict:
+    """Per-column null counts from parquet footer statistics — no Spark
+    job, no data scan (the same zero-cost probe discipline as
+    ``max_seq_parquet_stats``). A column maps to None when any file lacks
+    null-count statistics for it, or is absent from a file's schema; the
+    caller then falls back to a scan. Lets a clean WAL prove itself clean
+    for the cost of reading O(files) footers."""
+    import glob as _glob
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    files = _glob.glob(_os.path.join(path, "*.parquet"))
+    if not files:
+        return {c: None for c in cols}
+
+    def fnulls(fpath: str) -> dict:
+        md = pq.ParquetFile(fpath).metadata
+        idx = {md.schema.column(j).name: j for j in range(md.num_columns)}
+        out = {}
+        for c in cols:
+            if c not in idx:
+                out[c] = None
+                continue
+            n = 0
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(idx[c]).statistics
+                if st is None or st.null_count is None:
+                    n = None
+                    break
+                n += st.null_count
+            out[c] = n
+        return out
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        per_file = list(ex.map(fnulls, files))
+    totals: dict = {}
+    for c in cols:
+        vals = [p[c] for p in per_file]
+        totals[c] = None if any(v is None for v in vals) else sum(vals)
+    return totals
+
+
 def _scan_json_max_by_file(spark: SparkSession, files: list[str], schema,
                            seq_col: str) -> dict[str, int]:
     """One Spark job over ONLY the given JSON segment files → per-file max

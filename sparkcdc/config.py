@@ -105,6 +105,13 @@ class JobConfig:
     # carries the ``seq_col`` column — its parquet-footer max (zero-job).
     bootstrap_path: str | None = None
     bootstrap_lsn: int | None = None
+    # dead-letter queue for malformed WAL events: rows with a null key,
+    # null op, or null sequence number are quarantined to parquet under
+    # this path (one ``batch=<id>`` directory per batch, overwritten on
+    # replay — idempotent) instead of polluting the table (null key) or
+    # vanishing silently (null seq never matches any LSN slice). Unset =
+    # legacy behavior. Read back with ``sparkcdc.engine.read_dlq``.
+    dlq_path: str | None = None
     # write-audit-publish quality gate: when set, every batch is STAGED
     # (invisible), audited with these checks against the would-be table
     # state, and only published if all pass (sparkcdc.audit). Specs are
@@ -196,6 +203,8 @@ class JobConfig:
                         f"aggview_aggs[{out!r}] must be [kind, source_col] "
                         f"with kind in count/sum/min/max/avg, got {spec!r}"
                     )
+        if self.dlq_path is not None and not self.dlq_path:
+            raise ConfigError("dlq_path could not be empty")
         if self.bootstrap_path is not None and not self.bootstrap_path:
             raise ConfigError("bootstrap_path could not be empty")
         if self.bootstrap_lsn is not None:

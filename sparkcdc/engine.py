@@ -190,6 +190,11 @@ class CDCEngine:
                     shard_col=cfg.packed_shard_col,
                 )
         self._bootstrap_lsn_cache: int | None = None
+        # dead-letter splitting is on whenever a DLQ is configured; run()
+        # turns it off for the whole run when the WAL's parquet footers
+        # prove zero nulls in (key, op, seq) — the clean common case then
+        # pays nothing per batch
+        self._dlq_split = bool(cfg.dlq_path)
         self.aggview = None
         if cfg.aggview_path:
             from .aggview import AggSpecError, AggView
@@ -466,6 +471,60 @@ class CDCEngine:
             **m,
         })
 
+    def _quarantine_malformed(
+        self, batch, batch_id: str, *, include_null_seq: bool = False
+    ) -> tuple:
+        """Split malformed rows (null key / null op — and null seq for
+        callers whose batches are not LSN-sliced, i.e. the streaming
+        front-end) out of a batch and park them under
+        ``dlq_path/batch=<id>`` with a ``dlq_reason`` column. The
+        directory is overwritten on a crash-replay of the same batch, so
+        the DLQ never accumulates duplicates. Returns (well-formed batch,
+        quarantined count)."""
+        cfg = self.cfg
+        bad_pred = F.col(cfg.key).isNull() | F.col(cfg.op_col).isNull()
+        if include_null_seq:
+            bad_pred = bad_pred | F.col(cfg.seq_col).isNull()
+        bad = batch.where(bad_pred).withColumn(
+            "dlq_reason",
+            F.when(F.col(cfg.seq_col).isNull() & F.lit(include_null_seq),
+                   F.lit("null-seq"))
+            .when(F.col(cfg.key).isNull(), F.lit("null-key"))
+            .otherwise(F.lit("null-op")),
+        )
+        n = bad.count()
+        if n:
+            bad.write.mode("overwrite").parquet(
+                os.path.join(cfg.dlq_path, f"batch={batch_id}")
+            )
+        return batch.where(~bad_pred), n
+
+    def _dlq_sweep_null_seq(self) -> None:
+        """Events with a NULL sequence number never match any LSN slice —
+        without a DLQ they vanish silently. Swept once per run into
+        ``batch=null-seq`` (overwrite = idempotent across runs); skipped
+        entirely (with per-batch splitting disabled) when the WAL's
+        parquet footers prove zero nulls in key/op/seq."""
+        cfg = self.cfg
+        if self._log_is_parquet_wal:
+            from .changelog import null_counts_parquet_stats
+
+            stats = null_counts_parquet_stats(
+                cfg.log_path, [cfg.key, cfg.op_col, cfg.seq_col]
+            )
+            if all(v == 0 for v in stats.values()):
+                self._dlq_split = False
+                return
+        ns = self.log.where(F.col(cfg.seq_col).isNull()).withColumn(
+            "dlq_reason", F.lit("null-seq")
+        )
+        n = ns.count()
+        if n:
+            ns.write.mode("overwrite").parquet(
+                os.path.join(cfg.dlq_path, "batch=null-seq")
+            )
+            self.metrics.emit({"kind": "dlq", "reason": "null-seq", "rows": n})
+
     def apply_batch(self, lo: int, hi: int) -> dict:
         t0 = time.time()
         batch = self._apply_dynamic_ts(
@@ -473,8 +532,11 @@ class CDCEngine:
                 scan_slice(self.log, lo, hi, seq_col=self.cfg.seq_col)
             )
         )
-        changes = self._maybe_evolve(batch)
         batch_id = f"b-{lo}-{hi}"
+        n_dlq = 0
+        if self._dlq_split:
+            batch, n_dlq = self._quarantine_malformed(batch, batch_id)
+        changes = self._maybe_evolve(batch)
         attempt, wait = 0, self.cfg.retry_initial_wait_sec
         while True:
             try:
@@ -548,6 +610,7 @@ class CDCEngine:
             # probe's actual pre-dedup row count (applied_events) so dup
             # delivery / gaps / re-fenced replays can't skew the rate
             "range_width": hi - lo,
+            "quarantined_rows": n_dlq,
             "duration_sec": dur,
             # headline metric: change-events processed end-to-end per sec
             "events_per_sec": (m.get("applied_events", 0) / dur) if dur else 0.0,
@@ -564,6 +627,8 @@ class CDCEngine:
             if changes:
                 self.metrics.emit({"kind": "dynamic-schema", "changes": changes})
         self.maybe_bootstrap()
+        if self.cfg.dlq_path:
+            self._dlq_sweep_null_seq()
         plan = self.plan_batches()
         if max_batches is not None:
             plan = plan[:max_batches]
@@ -671,3 +736,17 @@ class CDCEngine:
         from .schema_infer import guess_columns
 
         return guess_columns(self.log.limit(sample_n), sample_n=sample_n)
+
+
+def read_dlq(spark: SparkSession, dlq_path: str) -> DataFrame:
+    """The dead-letter queue as a DataFrame: every quarantined WAL event
+    with its ``dlq_reason`` plus a ``batch`` partition column naming the
+    batch (or ``null-seq`` for the once-per-run sweep) it was parked by.
+    Empty-but-typed result when nothing was ever quarantined is not
+    possible without a schema, so callers should guard on existence."""
+    import glob
+
+    dirs = glob.glob(os.path.join(dlq_path, "batch=*"))
+    if not dirs:
+        raise FileNotFoundError(f"no quarantined batches under {dlq_path!r}")
+    return spark.read.option("basePath", dlq_path).parquet(*dirs)

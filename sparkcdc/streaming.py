@@ -53,6 +53,15 @@ def run_streaming(
     ).hexdigest()[:10]
 
     def apply(batch_df, epoch_id: int) -> None:
+        n_dlq = 0
+        if engine._dlq_split:
+            # streaming batches are file-discovered, not LSN-sliced, so a
+            # null seq would reach the merge here — quarantine it per
+            # batch (epoch-keyed directory = idempotent under replay)
+            batch_df, n_dlq = engine._quarantine_malformed(
+                batch_df, f"stream-{run_ns}-epoch-{epoch_id}",
+                include_null_seq=True,
+            )
         changes = engine._maybe_evolve(batch_df)
         # unordered file delivery: no global LSN fence; deletes persist as
         # tombstones so late lower-seq updates cannot resurrect rows
@@ -65,7 +74,8 @@ def run_streaming(
             mor=None,
         )
         engine.metrics.emit({"kind": "stream-batch", "epoch": epoch_id,
-                             "schema_changes": changes, **m})
+                             "schema_changes": changes,
+                             "quarantined_rows": n_dlq, **m})
         if cfg.compact_delta_files is not None:
             n_delta = sum(
                 1 for e in engine.table.snapshot["manifest"]
