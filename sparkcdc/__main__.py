@@ -21,6 +21,19 @@ from .engine import CDCEngine
 from .session import get_spark
 
 
+def _parse_aggview_aggs(specs: list[str] | None) -> dict | None:
+    """``OUT=KIND[:COL]`` CLI specs → the JobConfig.aggview_aggs mapping;
+    malformed specs become readable ConfigErrors via config validation."""
+    if not specs:
+        return None
+    out: dict = {}
+    for s in specs:
+        name, _, rhs = s.partition("=")
+        kind, _, col = rhs.partition(":")
+        out[name] = [kind, col or None]
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sparkcdc")
     p.add_argument("--log", help="existing change-log dir (else synthesize)")
@@ -94,6 +107,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bootstrap-lsn", type=int, default=None, metavar="LSN",
                    help="the dump's watermark LSN (default: derived from the "
                         "dump's seq-column parquet footers)")
+    p.add_argument("--aggview", default=None, metavar="PATH",
+                   help="maintain an incremental GROUP BY rollup (AggView) "
+                        "at this path, refreshed from the change feed after "
+                        "every applied batch")
+    p.add_argument("--aggview-group-col", action="append", default=None,
+                   metavar="COL", help="rollup group column (repeatable)")
+    p.add_argument("--aggview-agg", action="append", default=None,
+                   metavar="OUT=KIND[:COL]",
+                   help="rollup aggregate spec, e.g. n_docs=count or "
+                        "sum_tok=sum:n_tok (repeatable; kinds: count sum "
+                        "min max avg)")
     p.add_argument("--dlq", default=None, metavar="PATH",
                    help="dead-letter queue: quarantine malformed WAL events "
                         "(null key/op/seq) to parquet here instead of "
@@ -161,6 +185,9 @@ def main(argv: list[str] | None = None) -> int:
             bootstrap_path=args.bootstrap,
             bootstrap_lsn=args.bootstrap_lsn,
             dlq_path=args.dlq,
+            aggview_path=args.aggview,
+            aggview_group_cols=args.aggview_group_col,
+            aggview_aggs=_parse_aggview_aggs(args.aggview_agg),
         )
         engine = CDCEngine(spark, cfg)
         if args.preview:
