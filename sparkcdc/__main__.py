@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
                         "average bucket exceeds this many bytes")
     p.add_argument("--rebucket", type=int, default=None, metavar="N",
                    help="maintenance: rebucket the table to N buckets and exit")
+    p.add_argument("--expire-every", type=int, default=None, metavar="N",
+                   help="engine-driven retention: expire snapshots every N "
+                        "applied batches (consumer pins and tags clamp)")
+    p.add_argument("--retention-keep-last", type=int, default=10)
+    p.add_argument("--rollback", type=int, default=None, metavar="SNAPSHOT",
+                   help="restore the table to this retained snapshot as a "
+                        "new commit (metadata-only); the next run replays "
+                        "the undone WAL range")
     p.add_argument("--compact", action="store_true",
                    help="maintenance: run one compaction cycle and exit")
     p.add_argument("--compact-max-buckets", type=int, default=None,
@@ -131,7 +139,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app="sparkcdc-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.rebucket is not None or args.compact:
+    if args.rebucket is not None or args.compact or args.rollback is not None:
         # maintenance commands operate on an existing table, no log needed
         from .icebox import IceboxTable
 
@@ -141,6 +149,8 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 1
         t = IceboxTable.load(spark, args.table)
+        if args.rollback is not None:
+            print(json.dumps({"kind": "rollback", **t.rollback(args.rollback)}))
         if args.rebucket is not None:
             print(json.dumps({"kind": "rebucket", **t.rebucket(args.rebucket)}))
         if args.compact:
@@ -185,6 +195,8 @@ def main(argv: list[str] | None = None) -> int:
             bootstrap_path=args.bootstrap,
             bootstrap_lsn=args.bootstrap_lsn,
             dlq_path=args.dlq,
+            expire_every=args.expire_every,
+            retention_keep_last=args.retention_keep_last,
             aggview_path=args.aggview,
             aggview_group_cols=args.aggview_group_col,
             aggview_aggs=_parse_aggview_aggs(args.aggview_agg),

@@ -105,6 +105,13 @@ class JobConfig:
     # carries the ``seq_col`` column — its parquet-footer max (zero-job).
     bootstrap_path: str | None = None
     bootstrap_lsn: int | None = None
+    # snapshot retention, engine-driven: every ``expire_every`` applied
+    # batches the run loop calls expire_snapshots(keep_last=
+    # retention_keep_last). Consumer pins and named tags clamp the window,
+    # so continuous index/view/packed maintenance is never broken by
+    # retention. Unset = retention stays a manual/maintenance-job concern.
+    expire_every: int | None = None
+    retention_keep_last: int = 10
     # dead-letter queue for malformed WAL events: rows with a null key,
     # null op, or null sequence number are quarantined to parquet under
     # this path (one ``batch=<id>`` directory per batch, overwritten on
@@ -203,6 +210,10 @@ class JobConfig:
                         f"aggview_aggs[{out!r}] must be [kind, source_col] "
                         f"with kind in count/sum/min/max/avg, got {spec!r}"
                     )
+        if self.expire_every is not None and self.expire_every < 1:
+            raise ConfigError("expire_every must be greater than 0")
+        if self.retention_keep_last < 1:
+            raise ConfigError("retention_keep_last must be greater than 0")
         if self.dlq_path is not None and not self.dlq_path:
             raise ConfigError("dlq_path could not be empty")
         if self.bootstrap_path is not None and not self.bootstrap_path:

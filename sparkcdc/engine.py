@@ -700,6 +700,16 @@ class CDCEngine:
                     self.metrics.emit(
                         {"kind": "rebucket", **self.table.rebucket(new_nb)}
                     )
+            if self.cfg.expire_every and i % self.cfg.expire_every == 0:
+                # engine-driven retention: consumer pins and tags clamp
+                # the expiration window, so the continuously-maintained
+                # indexes/views/packed tables keep their change feeds
+                self.metrics.emit({
+                    "kind": "expire",
+                    **self.table.expire_snapshots(
+                        keep_last=self.cfg.retention_keep_last
+                    ),
+                })
             if self.cfg.compact_every and i % self.cfg.compact_every == 0:
                 self.metrics.emit({"kind": "compact", **self.table.compact()})
             elif self.cfg.compact_delta_files is not None:

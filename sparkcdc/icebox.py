@@ -236,6 +236,28 @@ class IceboxTable:
         bucket-granular (a COW/compact commit replaces every prior entry of
         its touched buckets), which is what makes disjoint-bucket commits
         rebase-commutative."""
+        if delta.get("operation") == "rollback":
+            # whole-state restore: manifest, lineage, fence ids and bucket
+            # layout all return to the target snapshot's values (the
+            # un-done batches' ids must leave the fence so a replay is
+            # not skipped); the schema-version MAP only grows, so older
+            # readers of intermediate snapshots keep resolving
+            r = delta["restore"]
+            return {
+                **snap,
+                "snapshot_id": delta["snapshot_id"],
+                "parent": delta["parent"],
+                "committed_at": delta.get("committed_at"),
+                "batch_id": None,
+                "unordered_mode": r.get("unordered_mode", False),
+                "committed_batches": r["committed_batches"],
+                "manifest": r["manifest"],
+                "lineage": r["lineage"],
+                "schema_version": r["schema_version"],
+                "schemas": snap["schemas"],
+                "n_buckets": r["n_buckets"],
+                "summary": delta.get("summary", snap.get("summary", {})),
+            }
         removed = set(delta.get("removed_buckets", []))
         manifest = [e for e in snap["manifest"] if e["bucket"] not in removed]
         manifest.extend(delta.get("added", []))
@@ -1585,6 +1607,58 @@ class IceboxTable:
                     )
                 )
         return z
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Restore the table to an earlier retained snapshot as a NEW
+        commit (Iceberg's ``rollback``): manifest, per-bucket lineage,
+        batch-fence ids and bucket layout all return to the target's
+        values. Metadata-only — no data file is read, written or deleted;
+        the rolled-past snapshots stay time-travel-readable until
+        ``expire_snapshots`` drops them, and their files remain referenced
+        by the pre-rollback history so the orphan sweep leaves them alone.
+
+        Operator story for a bad publish: ``rollback(good_id)`` and re-run
+        the engine — planning resumes from the RESTORED
+        ``last_applied_lsn`` and the un-done batches' fence ids were
+        restored away with the state, so the replay applies (it is not
+        skipped as already-committed). Incremental consumers self-heal:
+        ``read_changes`` across the rollback diffs the manifests and
+        emits exactly the reversal, so change-feed-maintained indexes and
+        views (sigindex/aggview/packed) converge back by their normal
+        refresh.
+
+        Concurrency: the rollback commit claims every bucket, so it
+        CONFLICTS with any concurrent data commit (no silent interleave);
+        a racing writer's retry then recomputes against the restored
+        state. Raises ``SnapshotExpiredError`` when the target is no
+        longer retained."""
+        self.refresh()
+        target = self._snapshot_by_id(snapshot_id)
+        snap = self._snap
+        if snapshot_id == snap["snapshot_id"]:
+            return {"rolled_back_to": snapshot_id, "skipped": True}
+        committed = self._try_commit({
+            "operation": "rollback",
+            "parent": snap["snapshot_id"],
+            "snapshot_id": snap["snapshot_id"] + 1,
+            "batch_id": None,
+            # claim every bucket: any concurrent data commit conflicts
+            "removed_buckets": list(range(snap["n_buckets"])),
+            "restore": {
+                "manifest": target["manifest"],
+                "lineage": target["lineage"],
+                "schema_version": target["schema_version"],
+                "committed_batches": target["committed_batches"],
+                "n_buckets": target["n_buckets"],
+                "unordered_mode": target.get("unordered_mode", False),
+            },
+            "summary": {"operation": "rollback", "to_snapshot": snapshot_id},
+        })
+        return {
+            "rolled_back_to": snapshot_id,
+            "snapshot_id": committed["snapshot_id"],
+            "restored_lsn": committed["lineage"]["last_applied_lsn"],
+        }
 
     def rebucket(self, new_n_buckets: int, *, conflict_retries: int = 3) -> dict:
         """Partition evolution: rewrite the table into a new hash-bucket

@@ -1,0 +1,136 @@
+"""rollback(snapshot_id): metadata-only restore of an earlier snapshot as
+a new commit — state, lineage and batch fences return to the target's
+values, the engine replays the undone WAL range on its next run, and
+change-feed consumers (AggView here) self-heal via the reversal that
+read_changes emits across the rollback."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkcdc.changelog import generate_changelog, write_log_parquet
+from sparkcdc.config import JobConfig
+from sparkcdc.engine import CDCEngine
+from sparkcdc.icebox import IceboxTable, SnapshotExpiredError
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_tok", T.LongType()),
+])
+
+
+def _log(spark, rows, seq0):
+    return spark.createDataFrame(
+        [(op, i, s, n, seq0 + j) for j, (op, i, s, n) in enumerate(rows)],
+        "op string, doc_id long, source string, n_tok long, seq long",
+    )
+
+
+def _state(t):
+    return sorted((r.doc_id, r.source, r.n_tok) for r in t.read().collect())
+
+
+def test_rollback_restores_state_lineage_and_fences(spark, tmp_path):
+    t = IceboxTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id",
+                           n_buckets=4)
+    t.merge(_log(spark, [("upsert", i, "a", i) for i in range(5)], 1), "b1")
+    good = t.snapshot["snapshot_id"]
+    good_state = _state(t)
+    good_lsn = t.lineage["last_applied_lsn"]
+    t.merge(_log(spark, [("upsert", 1, "a", 999), ("delete", 2, None, None)], 100),
+            "b2-bad")
+    assert _state(t) != good_state
+
+    m = t.rollback(good)
+    assert m["rolled_back_to"] == good and m["restored_lsn"] == good_lsn
+    assert _state(t) == good_state
+    assert t.lineage["last_applied_lsn"] == good_lsn
+    # the undone batch's fence id is gone: the corrected batch re-applies
+    assert "b2-bad" not in t.snapshot["committed_batches"]
+    t.merge(_log(spark, [("upsert", 1, "a", 111)], 100), "b2-bad")
+    assert (1, "a", 111) in _state(t)
+    # rolled-past snapshots stay time-travel readable
+    assert len(t.read(snapshot_id=good + 1).collect()) == 4
+    # idempotent no-op form
+    assert t.rollback(t.snapshot["snapshot_id"])["skipped"] is True
+
+
+def test_engine_replays_undone_range_after_rollback(spark, tmp_path):
+    """The operator story: bad second half published → rollback → re-run
+    the SAME engine config; planning resumes from the restored LSN and
+    the replay converges to the straight-through replay state."""
+    log = generate_changelog(spark, 2_000, 150, seed=31, dup_pct=10)
+    wal = str(tmp_path / "wal")
+    write_log_parquet(log, wal)
+    cfg = JobConfig(log_path=wal, table_path=str(tmp_path / "tbl"),
+                    n_buckets=4, batch_size=500)
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    final = sorted(tuple(r) for r in eng.table.read().collect())
+    mid = 2  # snapshot after batch 2 of 4
+    eng.table.rollback(mid)
+    assert eng.table.lineage["last_applied_lsn"] == 1_000
+    eng2 = CDCEngine(spark, cfg)
+    plan = eng2.plan_batches()
+    assert plan and plan[0][0] == 1_000  # replans exactly the undone range
+    eng2.run()
+    assert sorted(tuple(r) for r in eng2.table.read().collect()) == final
+
+
+def test_change_feed_consumers_self_heal_across_rollback(spark, tmp_path):
+    """read_changes across a rollback emits the reversal, so an AggView
+    refreshed after the rollback equals a direct GROUP BY of the restored
+    state — no rebuild, just the normal incremental refresh."""
+    from sparkcdc.aggview import AggView
+
+    t = IceboxTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id",
+                           n_buckets=4)
+    t.merge(_log(spark, [("upsert", i, f"s{i % 2}", i) for i in range(8)], 1), "b1")
+    good = t.snapshot["snapshot_id"]
+    view = AggView.create(
+        spark, str(tmp_path / "v"), group_cols=["source"],
+        aggs={"n": ("count", None), "tok": ("sum", "n_tok"),
+              "mx": ("max", "n_tok")},
+        source_schema=SCHEMA,
+    )
+    view.refresh_from(t)
+    t.merge(_log(spark, [("upsert", 50, "sNEW", 1000, ), ("delete", 7, None, None)],
+                 100), "b2-bad")
+    view.refresh_from(t)  # view now tracks the bad state
+    t.rollback(good)
+    view.refresh_from(t)  # the reversal window
+    got = sorted(tuple(r) for r in view.read().collect())
+    want = sorted(tuple(r) for r in t.read().groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok"),
+        F.max("n_tok").alias("mx")).collect())
+    assert got == want
+    assert not any(g[0] == "sNEW" for g in got)
+
+
+def test_rollback_to_expired_snapshot_raises(spark, tmp_path):
+    t = IceboxTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id",
+                           n_buckets=2)
+    for i in range(12):
+        t.merge(_log(spark, [("upsert", i, "a", i)], 10 * i + 1), f"b{i}")
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(SnapshotExpiredError):
+        t.rollback(1)
+
+
+def test_concurrent_writer_conflicts_with_rollback(spark, tmp_path):
+    """A merge computed against pre-rollback state must NOT silently land
+    on the restored state: the rollback claims every bucket, the stale
+    merge's internal conflict retry recomputes, and LWW decides."""
+    path = str(tmp_path / "t")
+    t = IceboxTable.create(spark, path, SCHEMA, key="doc_id", n_buckets=2)
+    t.merge(_log(spark, [("upsert", i, "a", i) for i in range(4)], 1), "b1")
+    good = t.snapshot["snapshot_id"]
+    t.merge(_log(spark, [("upsert", 9, "a", 9)], 50), "b2")
+    stale = IceboxTable.load(spark, path)  # handle at post-b2 state
+    t.rollback(good)
+    m = stale.merge(_log(spark, [("upsert", 1, "a", 777)], 60), "b3")
+    assert m.get("applied_events", 0) >= 1
+    t.refresh()
+    st = _state(t)
+    assert (1, "a", 777) in st and not any(d == 9 for d, _, _ in st)
