@@ -213,8 +213,11 @@ def main() -> int:
 | predicted T({mid}) | {S + W / mid:.1f} s |
 | measured T({mid}) | {t[mid]:.1f} s |
 """
-    with open(md, "w") as fh:
-        fh.write(f"""# BENCH — CDC replay scaling evidence ({mode} scaling)
+    # APPEND, never overwrite: BENCH/BASELINE.md accumulates manually
+    # written sections between tool runs (an early version of this tool
+    # opened with "w" and clobbered them once — restored from git)
+    with open(md, "a") as fh:
+        fh.write(f"""\n\n# BENCH — CDC replay scaling evidence ({mode} scaling)
 
 Per BASELINE.json the scaling criterion is throughput efficiency >=0.8 from
 N to 4N executors. No multi-node cluster exists in this sandbox; per the
