@@ -59,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="engine-driven retention: expire snapshots every N "
                         "applied batches (consumer pins and tags clamp)")
     p.add_argument("--retention-keep-last", type=int, default=10)
+    p.add_argument("--fsck", action="store_true",
+                   help="integrity audit: metadata fold + manifest-vs-footer "
+                        "checks on every retained snapshot (driver-side, no "
+                        "Spark job); exit 1 on errors")
     p.add_argument("--rollback", type=int, default=None, metavar="SNAPSHOT",
                    help="restore the table to this retained snapshot as a "
                         "new commit (metadata-only); the next run replays "
@@ -139,7 +143,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app="sparkcdc-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.rebucket is not None or args.compact or args.rollback is not None:
+    if (args.rebucket is not None or args.compact or args.rollback is not None
+            or args.fsck):
         # maintenance commands operate on an existing table, no log needed
         from .icebox import IceboxTable
 
@@ -149,6 +154,11 @@ def main(argv: list[str] | None = None) -> int:
                   file=sys.stderr)
             return 1
         t = IceboxTable.load(spark, args.table)
+        if args.fsck:
+            rep = t.fsck(deep=True)
+            print(json.dumps({"kind": "fsck", **rep}))
+            if not rep["ok"]:
+                return 1
         if args.rollback is not None:
             print(json.dumps({"kind": "rollback", **t.rollback(args.rollback)}))
         if args.rebucket is not None:

@@ -1137,6 +1137,120 @@ class IceboxTable:
             "tags": self.tags(),
         }
 
+    def fsck(self, *, deep: bool = False) -> dict:
+        """Integrity audit of both planes — the metadata fold and the data
+        files it references — entirely driver-side (parquet footer reads,
+        threaded; no Spark job). The on-call tool for "is this table
+        actually readable" after an incident at 100 TB, where a full scan
+        is not an option but O(files) footer reads are.
+
+        Checks:
+          * metadata: every retained snapshot folds cleanly; staged
+            (write-audit-publish) deltas parse.
+          * manifest → data, current snapshot (every retained snapshot
+            with ``deep=True``): file exists, on-disk size equals the
+            manifest's ``bytes``, footer row count equals ``rows``, and
+            the footer key range equals the manifest's
+            ``key_min``/``key_max`` (a mismatch means point-lookup
+            pruning would silently skip live keys — the worst failure
+            class, data-dependent and invisible to row counts).
+          * bloom sidecars: a referenced-but-missing sidecar is a
+            WARNING (reads degrade to keep-the-file; correctness holds).
+          * orphans: data files referenced by no retained snapshot and
+            no staged delta are counted as warnings, never deleted here
+            (``expire_snapshots(sweep_orphans=True)`` owns deletion).
+
+        Returns ``{"ok", "errors", "warnings", "files_checked",
+        "orphans"}`` — ``ok`` is False only for errors."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        errors: list[str] = []
+        warnings: list[str] = []
+        self.refresh()
+        try:
+            snaps = self.snapshots()
+        except Exception as exc:
+            return {"ok": False, "errors": [f"metadata fold failed: {exc}"],
+                    "warnings": [], "files_checked": 0, "orphans": 0}
+        try:
+            staged = self.staged()
+        except Exception as exc:
+            staged = {}
+            errors.append(f"staged-delta parse failed: {exc}")
+
+        audit_snaps = snaps if deep else [self._snap]
+        by_path: dict[str, dict] = {}
+        for s in audit_snaps:
+            for e in s["manifest"]:
+                by_path.setdefault(e["path"], e)
+
+        def check(item) -> list[str]:
+            rel, e = item
+            probs = []
+            fpath = os.path.join(self.path, rel)
+            if not os.path.exists(fpath):
+                return [f"missing data file: {rel}"]
+            size = os.path.getsize(fpath)
+            if "bytes" in e and size != e["bytes"]:
+                probs.append(
+                    f"size mismatch {rel}: manifest {e['bytes']} vs disk {size}"
+                )
+            try:
+                md = pq.ParquetFile(fpath).metadata
+            except Exception as exc:
+                return probs + [f"unreadable parquet footer {rel}: {exc}"]
+            if md.num_rows != e["rows"]:
+                probs.append(
+                    f"row-count mismatch {rel}: manifest {e['rows']} vs "
+                    f"footer {md.num_rows}"
+                )
+            kr = self._col_min_max(md, self.key)
+            if kr is not None and "key_min" in e and list(kr) != [
+                e["key_min"], e["key_max"]
+            ]:
+                probs.append(
+                    f"key-range mismatch {rel}: manifest "
+                    f"[{e['key_min']}, {e['key_max']}] vs footer {list(kr)}"
+                )
+            return probs
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            for probs in ex.map(check, by_path.items()):
+                errors.extend(probs)
+        for rel, e in by_path.items():
+            if e.get("bloom") and not os.path.exists(
+                os.path.join(self.path, e["bloom"])
+            ):
+                warnings.append(f"missing bloom sidecar (degraded): {e['bloom']}")
+
+        live = {e["path"] for s in snaps for e in s["manifest"]}
+        live |= {
+            e["path"] for info in staged.values()
+            for e in info["delta"].get("added", [])
+        }
+        orphans = 0
+        for fpath in glob.glob(
+            os.path.join(self.path, "data", "c*", "**", "*.parquet"),
+            recursive=True,
+        ):
+            if os.path.relpath(fpath, self.path) not in live:
+                orphans += 1
+        if orphans:
+            warnings.append(
+                f"{orphans} unreferenced data file(s) on disk — debris from "
+                f"crashed/lost writers; expire_snapshots(sweep_orphans=True) "
+                f"removes them after the grace window"
+            )
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "files_checked": len(by_path),
+            "orphans": orphans,
+        }
+
     def expire_snapshots(
         self,
         *,
