@@ -456,6 +456,11 @@ class CDCEngine:
         batch = batch.withColumn(self.cfg.op_col, F.lit("upsert")).withColumn(
             self.cfg.seq_col, F.lit(lsn).cast("long")
         )
+        n_dlq = 0
+        if self.cfg.dlq_path:
+            # a snapshot dump can carry the same damage a WAL can — a
+            # null-keyed row would otherwise seed the table with it
+            batch, n_dlq = self._quarantine_malformed(batch, f"bootstrap-{lsn}")
         changes = self._maybe_evolve(batch)
         m = self.table.merge(
             batch, f"bootstrap-{lsn}",
@@ -467,6 +472,7 @@ class CDCEngine:
             "kind": "bootstrap",
             "watermark_lsn": lsn,
             "schema_changes": changes,
+            "quarantined_rows": n_dlq,
             "duration_sec": time.time() - t0,
             **m,
         })

@@ -108,6 +108,55 @@ def test_change_feed_consumers_self_heal_across_rollback(spark, tmp_path):
     assert not any(g[0] == "sNEW" for g in got)
 
 
+def test_staged_commit_conflicts_with_rollback_and_stays_parked(spark, tmp_path):
+    """A write-audit-publish delta staged BEFORE a rollback was computed
+    against pre-rollback state: publishing it afterwards must raise the
+    typed conflict (never silently land stale data on the restored state)
+    and leave the staged delta parked for a re-stage."""
+    from sparkcdc.icebox import CommitConflictError
+
+    t = IceboxTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id",
+                           n_buckets=2)
+    t.merge(_log(spark, [("upsert", i, "a", i) for i in range(6)], 1), "b1")
+    good = t.snapshot["snapshot_id"]
+    t.merge(_log(spark, [("upsert", 1, "a", 111)], 50), "b2")
+    t.merge(_log(spark, [("upsert", 2, "a", 222)], 60), "b3", stage="wap1")
+    t.rollback(good)
+    with pytest.raises(CommitConflictError, match="rollback"):
+        t.publish_staged("wap1")
+    assert "wap1" in t.staged()  # still parked — caller re-stages
+    assert _state(t) == [(i, "a", i) for i in range(6)]  # restored, untouched
+
+
+def test_bootstrap_dump_with_null_key_is_quarantined(spark, tmp_path):
+    """A snapshot dump can carry the same damage a WAL can: with a DLQ
+    configured the bootstrap quarantines a null-keyed dump row instead of
+    seeding the table with it."""
+    from sparkcdc.engine import read_dlq
+
+    spark.createDataFrame(
+        [(s, "upsert", f"D{s}", "a", s) for s in range(1, 4)],
+        "seq long, op string, doc_id string, source string, n_tok long",
+    ).write.parquet(str(tmp_path / "wal"))
+    spark.createDataFrame(
+        [("D9", "a", 9), (None, "a", 7)],
+        "doc_id string, source string, n_tok long",
+    ).write.parquet(str(tmp_path / "dump"))
+    cfg = JobConfig(
+        log_path=str(tmp_path / "wal"), table_path=str(tmp_path / "tbl"),
+        n_buckets=2, batch_size=10,
+        bootstrap_path=str(tmp_path / "dump"), bootstrap_lsn=0,
+        dlq_path=str(tmp_path / "dlq"),
+    )
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    assert eng.table.read().where(F.col("doc_id").isNull()).count() == 0
+    [q] = read_dlq(spark, str(tmp_path / "dlq")).collect()
+    assert q.dlq_reason == "null-key" and q.n_tok == 7
+    [boot] = [r for r in eng.metrics.records if r.get("kind") == "bootstrap"]
+    assert boot["quarantined_rows"] == 1
+
+
 def test_rollback_to_expired_snapshot_raises(spark, tmp_path):
     t = IceboxTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id",
                            n_buckets=2)
