@@ -157,6 +157,57 @@ def test_bootstrap_dump_with_null_key_is_quarantined(spark, tmp_path):
     assert boot["quarantined_rows"] == 1
 
 
+def test_rollback_across_rebucket_restores_layout_and_packed_self_heals(
+    spark, tmp_path
+):
+    """Rollback to a snapshot with a DIFFERENT bucket layout (the rolled-
+    past history contains a rebucket): the restored n_buckets governs
+    subsequent merges, the shard-atom PackedTable converges back to the
+    one-shot pack of the restored state via its normal refresh, and
+    expiration afterwards drops the rolled-past history cleanly."""
+    from sparkcdc.packing import PackedTable, pack_sequences
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    ])
+    t = IceboxTable.create(spark, str(tmp_path / "t"), schema, key="doc_id",
+                           n_buckets=2)
+
+    def plog(rows, s0):
+        return spark.createDataFrame(
+            [("upsert", i, sh, tk, s0 + j) for j, (i, sh, tk) in enumerate(rows)],
+            "op string, doc_id long, shard string, tokens array<int>, seq long",
+        )
+
+    t.merge(plog([(i, f"sh{i % 2}", list(range(i, i + 5))) for i in range(8)], 1),
+            "b1")
+    good = t.snapshot["snapshot_id"]
+    pk = PackedTable.create(
+        spark, str(tmp_path / "pk"), seq_len=8, shard_type=T.StringType(),
+        token_type=T.IntegerType(), id_col="doc_id", tokens_col="tokens",
+        shard_col="shard",
+    )
+    pk.refresh_from(t)
+    t.rebucket(4)
+    t.merge(plog([(1, "sh1", [99] * 6), (50, "shNEW", [7, 7, 7])], 100), "b2-bad")
+    pk.refresh_from(t)
+
+    t.rollback(good)
+    assert t.n_buckets == 2  # layout restored across the rebucket
+    t.merge(plog([(9, "sh1", [1, 2, 3])], 200), "b3")  # lands on 2 buckets
+    pk.refresh_from(t)
+    got = sorted((r.shard, r.seq_id, tuple(r.tokens)) for r in pk.chunks().collect())
+    want = sorted((r.shard, r.seq_id, tuple(r.tokens)) for r in pack_sequences(
+        t.read().select("doc_id", "shard", "tokens"), seq_len=8,
+        id_col="doc_id", tokens_col="tokens", shard_col="shard").collect())
+    assert got == want
+    assert not any(sh == "shNEW" for sh, _, _ in got)
+    t.expire_snapshots(keep_last=2)
+    assert len(t._history_ids()) == 2  # rolled-past history droppable
+
+
 def test_rollback_to_expired_snapshot_raises(spark, tmp_path):
     t = IceboxTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id",
                            n_buckets=2)
