@@ -128,6 +128,18 @@ def _view_schema(
     return T.StructType(fields)
 
 
+_INT_RANK = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+
+
+def _is_widening(old: T.DataType, new: T.DataType) -> bool:
+    to, tn = type(old), type(new)
+    if to in _INT_RANK and tn in _INT_RANK:
+        return _INT_RANK[tn] > _INT_RANK[to]
+    if to in _INT_RANK and tn in (T.FloatType, T.DoubleType):
+        return True
+    return isinstance(old, T.FloatType) and isinstance(new, T.DoubleType)
+
+
 class AggView(IncrementalIndex):
     """A persistent GROUP BY rollup of a source icebox table, maintained
     incrementally from the source's change feed (see module docstring)."""
@@ -231,6 +243,36 @@ class AggView(IncrementalIndex):
                 exprs.append(F.max(F.when(sign == -1, F.col(col))).alias(f"_retr_{out}"))
         return exprs
 
+    def _evolve_with_source(self, src_table: IceboxTable) -> None:
+        """Track source schema evolution: when a group or measure column
+        WIDENED (int family upward, int→float, float→double), widen the
+        view's corresponding stored columns before folding the window —
+        the frozen view schema would otherwise silently WRAP wide values
+        through the merge's normalization cast (the same corruption class
+        PackedTable guards against, packing.py). Non-widening changes
+        raise a typed error; columns the spec does not reference are
+        ignored (added source columns cost nothing here)."""
+        _validate_specs(self.group_cols, self.aggs, src_table.schema)
+        want = _view_schema(self.group_cols, self.aggs, src_table.schema)
+        have = self.table.schema
+        changed = [
+            (f.name, have[f.name].dataType, f.dataType)
+            for f in want.fields
+            if f.name in have.names and have[f.name].dataType != f.dataType
+        ]
+        if not changed:
+            return
+        for name, old, new in changed:
+            if not _is_widening(old, new):
+                raise AggSpecError(
+                    f"source schema change is not a widening for view column "
+                    f"{name!r}: {old.simpleString()} -> {new.simpleString()} — "
+                    f"rebuild the view for type changes the stored state "
+                    f"cannot absorb"
+                )
+        self.table.update_schema(want)
+        self.table.refresh()
+
     def refresh_from(
         self, src_table: IceboxTable, *, consumer: str = "aggview"
     ) -> dict:
@@ -241,6 +283,7 @@ class AggView(IncrementalIndex):
         ties the stored extremum (the one case min/max cannot be updated
         monotonically). Exactly-once: the MERGE batch id is the (from, to)
         snapshot pair, so a crash-replay of the same window is fenced."""
+        self._evolve_with_source(src_table)
         from_sid, to_sid, ch = self._window(src_table, consumer=consumer, mode="cdf")
         if ch is None:
             return {"skipped": True, "from_snapshot": from_sid, "to_snapshot": to_sid}

@@ -392,6 +392,62 @@ def test_hostile_output_names_do_not_collide_with_internals(spark, tmp_path):
         )
 
 
+def test_source_widening_evolves_view_schema(spark, tmp_path):
+    """Source widens a measure column (int -> long) mid-stream: the view's
+    stored min/max column must widen WITH it — the frozen schema used to
+    wrap 2^33 to 0 through the merge's normalization cast (found by API
+    drive). Non-widening changes raise a readable error instead of
+    corrupting stored state; added source columns are ignored."""
+    src = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+    ])
+    from sparkcdc.icebox import IceboxTable as _IT
+
+    t = _IT.create(spark, str(tmp_path / "t"), src, key="doc_id", n_buckets=2)
+    t.merge(spark.createDataFrame(
+        [("upsert", i, f"s{i % 2}", 10 + i, i + 1) for i in range(6)],
+        "op string, doc_id long, source string, n_tok int, seq long"), "b1")
+    view = AggView.create(
+        spark, str(tmp_path / "v"), group_cols=["source"],
+        aggs={"n": ("count", None), "tok": ("sum", "n_tok"),
+              "mx": ("max", "n_tok")},
+        source_schema=src,
+    )
+    view.refresh_from(t)
+    t.update_schema(T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("lang", T.StringType()),
+    ]))
+    t.merge(spark.createDataFrame(
+        [("upsert", 50, "s0", 2 ** 33, "en", 100)],
+        "op string, doc_id long, source string, n_tok long, lang string, seq long"),
+        "b2")
+    view.refresh_from(t)
+    got = sorted(tuple(r) for r in view.read().collect())
+    want = sorted(tuple(r) for r in t.read().groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok"),
+        F.max("n_tok").alias("mx")).collect())
+    assert got == want
+    assert any(r[3] == 2 ** 33 for r in got)  # the wide max survived intact
+    # non-widening change (long -> string) is rejected, not absorbed
+    t.update_schema(T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tok", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]))
+    t.merge(spark.createDataFrame(
+        [("upsert", 51, "s0", "xyz", "en", 200)],
+        "op string, doc_id long, source string, n_tok string, lang string, seq long"),
+        "b3")
+    with pytest.raises(AggSpecError):
+        view.refresh_from(t)
+
+
 def test_spec_validation(spark, tmp_path):
     with pytest.raises(AggSpecError, match="group_cols"):
         AggView.create(spark, str(tmp_path / "a"), group_cols=[],
