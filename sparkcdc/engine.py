@@ -765,4 +765,10 @@ def read_dlq(spark: SparkSession, dlq_path: str) -> DataFrame:
     dirs = glob.glob(os.path.join(dlq_path, "batch=*"))
     if not dirs:
         raise FileNotFoundError(f"no quarantined batches under {dlq_path!r}")
-    return spark.read.option("basePath", dlq_path).parquet(*dirs)
+    # mergeSchema: batches quarantined before and after a mid-run schema
+    # evolution carry different column sets — union them by name
+    return (
+        spark.read.option("basePath", dlq_path)
+        .option("mergeSchema", "true")
+        .parquet(*dirs)
+    )
