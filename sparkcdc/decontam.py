@@ -104,23 +104,36 @@ def contamination_scan(
     ``(id, n_hits, n_grams)`` — hit count and the doc's distinct-gram
     total (callers derive the contamination fraction).
 
-    Plan: benchmark grams dedup'd and BROADCAST; one pass over the docs
-    explodes distinct grams and broadcast-hash-joins — no shuffle on the
-    gram (n-grams are Zipfian; a gram-keyed shuffle would hot-spot), and
-    the only exchange is the final id-keyed count aggregation. Per-run
-    cost is one corpus scan regardless of benchmark size."""
+    Plan: benchmark grams dedup'd and BROADCAST, marked with a literal;
+    one pass over the docs explodes each doc's distinct grams, broadcast
+    LEFT-joins the marker, and a SINGLE id-keyed aggregation produces
+    both counts — ``n_grams = count(*)`` and ``n_hits = count(marker)``
+    — with the inner-join semantics restored by ``n_hits > 0``. No
+    shuffle on the gram (n-grams are Zipfian; a gram-keyed shuffle would
+    hot-spot), the gram set is derived ONCE (the previous totals-join
+    formulation derived it twice and paid a third join to stitch the
+    counts), and per-run cost is one corpus scan regardless of benchmark
+    size. The narrow (id, text) projection is spread to full parallelism
+    first (session.spread_scan) so few-file corpora do not derive their
+    grams on a handful of scan tasks."""
+    from .session import spread_scan
+
     bgrams = (
         bench.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
+        .withColumn("_m", F.lit(1))
     )
-    dg = _doc_grams(docs, n=n, text_col=text_col, id_col=id_col)
-    totals = dg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = (
-        dg.join(F.broadcast(bgrams), "gram")
+    dg = spread_scan(docs.select(F.col(id_col), F.col(text_col).alias("_t"))).select(
+        id_col,
+        F.explode(F.array_distinct(word_ngrams(F.col("_t"), n))).alias("gram"),
+    )
+    return (
+        dg.join(F.broadcast(bgrams), "gram", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count("*").alias("n_grams"), F.count("_m").alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+        .select(id_col, "n_hits", "n_grams")
     )
-    return hits.join(totals, id_col).select(id_col, "n_hits", "n_grams")
 
 
 def contamination_scan_hashed(
@@ -136,22 +149,28 @@ def contamination_scan_hashed(
     gram hashes. A hash collision can produce a false positive
     (~2^-64 per comparison — negligible at any corpus size); downstream
     droppers that need certainty re-verify flagged docs exactly."""
+    from .session import spread_scan
+
     bgrams = (
         bench.select(
             F.explode(token_ngram_hashes(F.col(tokens_col), n)).alias("gram_h")
-        ).distinct()
+        )
+        .distinct()
+        .withColumn("_m", F.lit(1))
     )
-    dg = docs.select(
-        F.col(id_col),
-        F.explode(token_ngram_hashes(F.col(tokens_col), n)).alias("gram_h"),
+    dg = spread_scan(
+        docs.select(F.col(id_col), F.col(tokens_col).alias("_tk"))
+    ).select(
+        id_col,
+        F.explode(token_ngram_hashes(F.col("_tk"), n)).alias("gram_h"),
     )
-    totals = dg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    hits = (
-        dg.join(F.broadcast(bgrams), "gram_h")
+    return (
+        dg.join(F.broadcast(bgrams), "gram_h", "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count("*").alias("n_grams"), F.count("_m").alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+        .select(id_col, "n_hits", "n_grams")
     )
-    return hits.join(totals, id_col).select(id_col, "n_hits", "n_grams")
 
 
 def _index_schema(key_type: T.DataType) -> T.StructType:

@@ -28,9 +28,12 @@ LSH_BANDS = 4  # → rows per band = K / BANDS = 2
 SHINGLE_N = 3
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document."""
-    words = F.split(F.trim(F.col(text_col)), "\\s+")
+def _shingle_array(text_col, n: int = SHINGLE_N):
+    """array<string> of the DISTINCT word n-grams of a text column — the
+    per-row form of ``shingles``: deriving the set as ONE array expression
+    lets single-pass consumers (minhash, the jaccard paths) avoid the
+    explode→distinct→re-aggregate shuffle cycle entirely (guide §2.4)."""
+    words = F.split(F.trim(text_col), "\\s+")
     # guard: Spark's sequence(1, 0) is DESCENDING [1,0]; docs shorter than
     # the shingle width must yield an empty shingle set instead
     sh = F.when(
@@ -40,8 +43,36 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataF
             lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def _hashed_shingle_sets(
+    df: DataFrame, text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, _h: array<bigint>) — the xxhash64 image of each row's
+    distinct shingle set, re-deduped after hashing so set sizes and set
+    intersections over ``_h`` equal those over the string sets (modulo
+    64-bit collisions, ~2^-64 per cross-doc comparison). The jaccard
+    paths compare ONLY equality of shingles, so 8-byte hashes shuffle and
+    compare instead of ~25-byte strings (guide §2.3 "shuffle keys and
+    metadata instead of payloads"). The narrow (doc_id, text) projection
+    is spread to full parallelism first so few-file corpora do not derive
+    on 1-4 scan tasks (session.spread_scan; a no-op at scale)."""
+    from .session import spread_scan
+
+    src = spread_scan(df.select("doc_id", F.col(text_col).alias("_t")))
+    return src.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(_shingle_array(F.col("_t"), n), lambda s: F.xxhash64(s))
+        ).alias("_h"),
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
     return (
-        df.select("doc_id", F.explode(sh).alias("shingle"))
+        df.select("doc_id", F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )
 
@@ -75,51 +106,102 @@ def ngram_jaccard_pairs(
     join to O(n²) on that key. The cap is applied consistently to both
     the per-doc shingle counts and the intersection, so the result is the
     exact Jaccard over the capped shingle sets. For the 100 TB path
-    prefer lsh_verified_pairs (candidates bounded by LSH bands)."""
-    sh = shingles(df, text_col).join(df.select("doc_id", block_col), "doc_id")
+    prefer lsh_verified_pairs (candidates bounded by LSH bands).
+
+    Plan shape (r6): shingles travel as 8-byte xxhash64 values, derived
+    ONCE per doc as an array (no explode→distinct shuffle), and the
+    shingle self-join is replaced by inverted-index pair emission — group
+    docs per (shingle-hash, block), emit the i<j member pairs natively
+    (sorted collect_list + transform/slice), then count pair occurrences.
+    That is ONE exchange of (doc, hash) rows + one partial-agg'd pair
+    exchange, where the self-join formulation shuffled the exploded
+    string rows twice into a sort-merge join and re-derived the shingle
+    set four times (counts + both join sides). Results are identical
+    modulo 64-bit hash collisions (~2^-64 per cross-doc comparison).
+    ``df`` is expected to carry one row per doc_id (true of every corpus
+    table here); pre-dedupe rows otherwise."""
+    from .session import spread_scan
+
+    sets = spread_scan(df.select("doc_id", block_col, text_col)).select(
+        "doc_id",
+        block_col,
+        F.array_distinct(
+            F.transform(_shingle_array(F.col(text_col)), lambda s: F.xxhash64(s))
+        ).alias("_h"),
+    )
     if df_cap is not None:
-        freq = sh.groupBy("shingle", block_col).agg(F.count("*").alias("_df"))
+        # capped mode: per-doc counts must reflect the POST-cap shingle
+        # sets, so counts are re-aggregated after the frequency filter
+        sh = sets.select("doc_id", block_col, F.explode("_h").alias("sh_h"))
+        freq = sh.groupBy("sh_h", block_col).agg(F.count("*").alias("_df"))
         sh = sh.join(
-            freq.where(F.col("_df") <= df_cap).select("shingle", block_col),
-            ["shingle", block_col],
+            freq.where(F.col("_df") <= df_cap).select("sh_h", block_col),
+            ["sh_h", block_col],
         )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sh = sh.join(counts, "doc_id")
+    else:
+        sh = sets.select(
+            "doc_id",
+            block_col,
+            F.size("_h").cast("long").alias("n_sh"),
+            F.explode("_h").alias("sh_h"),
+        )
+    # inverted index: docs sharing a shingle, pairs emitted per group
+    members = F.sort_array(F.collect_list(F.struct("doc_id", "n_sh")))
+    grp = sh.groupBy("sh_h", block_col).agg(members.alias("ms"))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc1"),
+                        x["n_sh"].alias("n1"),
+                        y["doc_id"].alias("doc2"),
+                        y["n_sh"].alias("n2"),
+                    ),
+                ),
+            )
+        )
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        grp.select(pair.alias("p"))
+        .select("p.*")
+        .groupBy("doc1", "n1", "doc2", "n2")
         .agg(F.count("*").alias("n_common"))
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    out = (
-        inter.join(ca, F.col("doc1") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
-        .select(
+    return (
+        inter.select(
             "doc1",
             "doc2",
             (
-                F.col("n_common")
-                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common"))
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 def minhash_signatures(df: DataFrame, *, k: int = MINHASH_K, text_col: str = "text") -> DataFrame:
     """(doc_id, mh_0 … mh_{k-1}): per-document MinHash over k md5-derived
-    streams, computed as k min-aggregates in ONE pass over the shingle set
-    (no k-fold explode through the shuffle — at 100 TB the explode variant
-    moves k x the data for the same answer)."""
-    sh = shingles(df, text_col)
+    streams, computed as k min-aggregates in ONE pass over the exploded
+    per-row shingle set (no k-fold explode through the shuffle — at
+    100 TB the explode variant moves k x the data for the same answer).
+
+    r6 plan shape: the former explode → DISTINCT → groupBy pipeline paid
+    an extra full exchange of (doc_id, shingle) strings purely to dedup
+    before the min-aggregate — but min over a multiset equals min over
+    the set, and the per-row shingle array is already distinct, so the
+    explode feeds the partial min-aggregate directly (one exchange
+    total, of 8 partial minima per doc). The narrow (doc_id, text)
+    projection is spread to full parallelism first (session.spread_scan):
+    a few-file corpus otherwise runs the md5 streams on 1-4 scan tasks."""
+    from .session import spread_scan
+
+    src = spread_scan(df.select("doc_id", F.col(text_col).alias("_t")))
+    sh = src.select("doc_id", F.explode(_shingle_array(F.col("_t"))).alias("shingle"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i)), F.lit(":"), F.col("shingle")))).alias(f"mh_{i}")
         for i in range(k)
@@ -216,28 +298,40 @@ def lsh_verified_pairs(
     ngram_jaccard_pairs touches O(sum over shingles of df²) rows; here the
     intersection join is restricted to the candidate pair set, which LSH
     banding bounds regardless of corpus-wide shingle frequencies.
-    ``max_band`` passes through to the candidate stage's hot-band guard."""
+    ``max_band`` passes through to the candidate stage's hot-band guard.
+
+    Plan shape (r6): verification attaches each doc's hashed shingle SET
+    (one array row per doc — no explode) to the candidate pairs with two
+    equi-joins, then computes ``n_common = size(array_intersect(h1, h2))``
+    per pair. The exploded-shingle intersection join re-derived the
+    shingle rows three more times and shuffled them into two sort-merge
+    joins; here the per-doc set is derived once per join side and only
+    candidate-pair rows carry arrays through the final projection. A
+    candidate pair with an empty intersection (or an unshingleable side)
+    yields jaccard 0/NULL and is dropped by the threshold filter, exactly
+    as the inner intersection join dropped it."""
     cand = minhash_lsh_pairs(df, k=k, bands=bands, text_col=text_col, max_band=max_band)
-    sh = shingles(df, text_col)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc1"), "doc1")
-        .join(sh.select(F.col("doc_id").alias("doc2"), "shingle"), ["doc2", "shingle"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("n_common"))
+    h = _hashed_shingle_sets(df, text_col)
+    j = (
+        cand.join(
+            h.select(F.col("doc_id").alias("doc1"), F.col("_h").alias("_h1")), "doc1"
+        )
+        .join(
+            h.select(F.col("doc_id").alias("doc2"), F.col("_h").alias("_h2")), "doc2"
+        )
     )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
+    n_common = F.size(F.array_intersect("_h1", "_h2")).cast("long")
+    n1 = F.size("_h1").cast("long")
+    n2 = F.size("_h2").cast("long")
     return (
-        inter.join(ca, F.col("doc1") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc2") == F.col("cb.doc_id"))
+        # the n_common > 0 guard mirrors the inner intersection join of the
+        # exploded formulation (a zero-overlap pair produced no row there,
+        # so it must not appear here even at threshold <= 0)
+        j.where(n_common > 0)
         .select(
             "doc1",
             "doc2",
-            (
-                F.col("n_common")
-                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common"))
-            ).alias("jaccard"),
+            (n_common / (n1 + n2 - n_common)).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

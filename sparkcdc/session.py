@@ -9,7 +9,27 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism —
+    but ONLY when the plan's current partitioning is below it.
+
+    The guide §2.5 "repartition immediately after the read" fix, made
+    scale-adaptive: a few-file byte-light corpus scans as 1-4 tasks, so
+    CPU-heavy derived work (shingling, hashing, n-gram explosion) placed
+    in that stage runs nearly serially; a production-scale input already
+    has >= parallelism splits and passes through UNTOUCHED (no shuffle is
+    ever added at scale). Call it on the narrowest projection the
+    downstream derivation needs, so the exchange moves only those bytes."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if cur < target else df
 
 
 def get_spark(
