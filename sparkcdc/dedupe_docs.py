@@ -356,10 +356,16 @@ def simhash64_native(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     Same structure as the md5 ``simhash64`` pandas UDF but a different
     hash family — sim values are NOT comparable across the two. Null text
     → null sim; token-less text → all-zero votes → -2^63, matching the
-    md5 family's conventions."""
-    toks = df.select(
+    md5 family's conventions. The narrow (doc_id, text) projection is
+    spread to full parallelism first (session.spread_scan) so the
+    token-hash bit-vote partial aggregation does not run on a handful of
+    scan tasks over a few-file corpus."""
+    from .session import spread_scan
+
+    src = spread_scan(df.select("doc_id", F.col(text_col).alias("_t")))
+    toks = src.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col("_t")), "\\s+")).alias("tok"),
     ).where(F.col("tok") != "")
     h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
     packs = [
@@ -403,23 +409,59 @@ def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-vectorized batch;
     hashing via Python's stable md5 per token within the batch). This is
     the ORACLE-MODE hash family (md5 is replicable bit-for-bit in DuckDB
-    SQL); the default scale path is ``simhash64_native``."""
+    SQL); the default scale path is ``simhash64_native``.
+
+    r6: batch-vectorized — each UNIQUE token in the Arrow batch is
+    md5-hashed ONCE (natural-language token streams are Zipfian, so the
+    per-occurrence md5 of the old per-row loop redid the same hashes
+    thousands of times), the 64 bit-columns are unpacked for the whole
+    vocabulary in one numpy call, and per-doc ±1 votes are one slice-sum
+    per doc over the occurrence->vocab index stream. Bit-identical
+    arithmetic to the per-row loop (integer vote sums, same tokenizer,
+    same edge conventions: null -> null, token-less -> -2^63)."""
     import hashlib
 
     import numpy as np
 
-    def sh(s):
+    docs = text.tolist()
+    vocab: dict[str, int] = {}
+    idx_stream: list[int] = []
+    lengths: list[int] = []
+    for s in docs:
         if s is None:
-            return None
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in s.split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-            acc += bits.astype(np.int64) * 2 - 1
+            lengths.append(-1)
+            continue
+        toks = s.split()
+        lengths.append(len(toks))
+        for t in toks:
+            j = vocab.get(t)
+            if j is None:
+                j = vocab[t] = len(vocab)
+            idx_stream.append(j)
+    if vocab:
+        digests = b"".join(
+            hashlib.md5(t.encode()).digest()[:8] for t in vocab
+        )
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8), axis=1
+        )
+        pm = bits.astype(np.int8) * 2 - 1  # (vocab, 64) ±1 votes
+    idx_arr = np.asarray(idx_stream, dtype=np.int64)
+    out: list[int | None] = []
+    pos = 0
+    zeros = np.zeros(64, dtype=np.int64)
+    for n in lengths:
+        if n < 0:
+            out.append(None)
+            continue
+        if n == 0:
+            acc = zeros
+        else:
+            acc = pm[idx_arr[pos:pos + n]].sum(axis=0, dtype=np.int64)
+            pos += n
         v = np.packbits((acc > 0).astype(np.uint8))
-        return int.from_bytes(v.tobytes(), "big", signed=False) - (1 << 63)
-
-    return text.map(sh)
+        out.append(int.from_bytes(v.tobytes(), "big", signed=False) - (1 << 63))
+    return pd.Series(out, index=text.index, dtype=object)
 
 
 def simhash_near_pairs(
@@ -459,7 +501,12 @@ def simhash_near_pairs(
     if hash_family == "native":
         h = simhash64_native(df, text_col=text_col).where(F.col("sim").isNotNull())
     elif hash_family == "md5":
-        h = df.select("doc_id", simhash64(F.col(text_col)).alias("sim"))
+        # spread the narrow projection so the Arrow-UDF stage runs on all
+        # cores' Python workers, not the 1-4 scan tasks of a small corpus
+        from .session import spread_scan
+
+        src = spread_scan(df.select("doc_id", F.col(text_col).alias("_t")))
+        h = src.select("doc_id", simhash64(F.col("_t")).alias("sim"))
     else:
         raise ValueError(f"hash_family must be 'native' or 'md5', got {hash_family!r}")
     return simhash_chunk_pairs(h, max_hamming=max_hamming, max_chunk=max_chunk)

@@ -140,8 +140,11 @@ class IceboxTable:
 
     # build per-file key bloom sidecars at write time (bloom.py) so point
     # lookups skip MOR delta files whose key RANGE covers everything but
-    # that don't hold the key; flip off per handle for write paths where
-    # the extra key-column read is unwanted
+    # that don't hold the key. Sidecars are built for DELTA files only
+    # (r6): a COW/compacted bucket prunes to one file by bucket+range
+    # alone, and hashing every rewritten bucket's keys per merge was an
+    # O(table)-per-batch driver cost. Flip off per handle for write paths
+    # where even the delta key-column read is unwanted.
     bloom_keys: bool = True
 
     def __init__(self, spark: SparkSession, path: str, *, store: CommitStore | None = None):
@@ -1483,11 +1486,19 @@ class IceboxTable:
             sr = self._col_min_max(md, SEQ_COL)
             if sr is not None:
                 e["seq_max"] = sr[1]
-            if self.bloom_keys:
-                # per-file key bloom sidecar (see bloom.py): one extra read
-                # of the key COLUMN of a file this writer just produced —
-                # O(this commit's own output), driver-threaded with the
-                # footer parsing, never a Spark job
+            if self.bloom_keys and kind == "delta":
+                # per-file key bloom sidecar (see bloom.py), DELTA FILES
+                # ONLY: blooms discriminate between the stacked delta
+                # files of a MOR bucket (whose key ranges all span the
+                # bucket); a COW/compacted bucket resolves to one file
+                # after bucket+range pruning, so a sidecar there buys
+                # nothing while costing a driver-side md5 pass over the
+                # ENTIRE rewritten bucket on every merge — O(table) per
+                # batch, the dominant replay driver cost before r6.
+                # Delta sidecars are O(batch): one extra read of the key
+                # COLUMN of the (small) delta file just produced,
+                # driver-threaded with the footer parsing, never a Spark
+                # job.
                 from . import bloom as _bloom
 
                 kcol = pf.read(columns=[key]).column(key).to_pylist()

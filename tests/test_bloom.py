@@ -89,9 +89,17 @@ def test_point_lookup_skips_delta_files_via_bloom(spark, tmp_path):
     # correctness: the pruned read returns exactly the row
     rows = t.read_keys([probe]).collect()
     assert [r.doc_id for r in rows] == [probe]
-    # every registered file has a sidecar on disk
+    # every registered DELTA file has a sidecar on disk; COW bases carry
+    # none (bucket+range pruning already resolves them to one file, so a
+    # sidecar there would cost an O(bucket) driver hash pass per merge
+    # for nothing — the r6 delta-only policy)
     for e in snap["manifest"]:
-        assert e.get("bloom") and os.path.exists(os.path.join(t.path, e["bloom"]))
+        if e.get("kind") == "delta":
+            assert e.get("bloom") and os.path.exists(
+                os.path.join(t.path, e["bloom"])
+            )
+        else:
+            assert not e.get("bloom")
 
 
 def test_bloom_degrades_when_sidecar_missing_or_disabled(spark, tmp_path):
@@ -100,9 +108,10 @@ def test_bloom_degrades_when_sidecar_missing_or_disabled(spark, tmp_path):
     t.merge(_batch(spark, range(100), 0), "b1")
     assert not any(e.get("bloom") for e in t._snap["manifest"])
     assert t.read_keys(["d00042"]).count() == 1
-    # new-writer handle adds blooms; deleting a sidecar degrades, not breaks
+    # new-writer handle adds blooms (delta files); deleting a sidecar
+    # degrades, not breaks
     t2 = IceboxTable.load(spark, str(tmp_path / "t"))
-    t2.merge(_batch(spark, range(100, 200), 1_000), "b2")
+    t2.merge(_batch(spark, range(100, 200), 1_000), "b2", mor=True)
     victim = next(e for e in t2._snap["manifest"] if e.get("bloom"))
     os.remove(os.path.join(t2.path, victim["bloom"]))
     t2._bloom_cache.clear()
@@ -111,17 +120,20 @@ def test_bloom_degrades_when_sidecar_missing_or_disabled(spark, tmp_path):
 
 def test_sweep_cleans_sidecars_with_their_data_files(spark, tmp_path):
     t = IceboxTable.create(spark, str(tmp_path / "t"), SCHEMA, n_buckets=2)
-    for i in range(8):  # enough snapshots to expire some
-        t.merge(_batch(spark, range(i * 20, (i + 1) * 20), i * 100), f"b{i}")
-    t.compact()
+    t.merge(_batch(spark, range(20), 0), "b0")
+    for i in range(1, 8):  # enough snapshots to expire some; MOR deltas
+        t.merge(_batch(spark, range(i * 20, (i + 1) * 20), i * 100), f"b{i}",
+                mor=True)
     n_bloom_before = len(glob.glob(os.path.join(t.path, "data", "**", "*.bloom"),
                                    recursive=True))
     assert n_bloom_before > 0
     t.expire_snapshots(keep_last=1, sweep_orphans=True, orphan_grace_sec=0)
-    live = {e["path"] for e in t._snap["manifest"]}
+    live_delta = {e["path"] for e in t._snap["manifest"]
+                  if e.get("kind") == "delta"}
     blooms = glob.glob(os.path.join(t.path, "data", "**", "*.bloom"), recursive=True)
-    # every surviving sidecar belongs to a live data file, and every live
-    # file still has its sidecar
-    assert {os.path.relpath(p[: -len(".bloom")], t.path) for p in blooms} == live
+    # every surviving sidecar belongs to a live delta file, and every live
+    # delta still has its sidecar (COW bases carry none — delta-only policy)
+    assert {os.path.relpath(p[: -len(".bloom")], t.path)
+            for p in blooms} == live_delta
     # reads still work post-sweep
     assert t.read_keys(["d00005"]).count() == 1

@@ -54,7 +54,8 @@ def test_missing_and_corrupt_files_are_errors(spark, tmp_path):
 
 
 def test_missing_bloom_sidecar_is_a_warning_not_error(spark, tmp_path):
-    t = _mk(spark, tmp_path)  # bloom_keys defaults on
+    t = _mk(spark, tmp_path)  # bloom_keys defaults on (delta files only)
+    t.merge(_log(spark, [(60, 6), (61, 7)], 200), "b3", mor=True)
     e = next(x for x in t.snapshot["manifest"] if x.get("bloom"))
     os.remove(os.path.join(t.path, e["bloom"]))
     rep = t.fsck()
