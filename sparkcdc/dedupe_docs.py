@@ -109,17 +109,17 @@ def ngram_jaccard_pairs(
     prefer lsh_verified_pairs (candidates bounded by LSH bands).
 
     Plan shape (r6): shingles travel as 8-byte xxhash64 values, derived
-    ONCE per doc as an array (no explode→distinct shuffle), and the
-    shingle self-join is replaced by inverted-index pair emission — group
-    docs per (shingle-hash, block), emit the i<j member pairs natively
-    (sorted collect_list + transform/slice), then count pair occurrences.
-    That is ONE exchange of (doc, hash) rows + one partial-agg'd pair
-    exchange, where the self-join formulation shuffled the exploded
-    string rows twice into a sort-merge join and re-derived the shingle
-    set four times (counts + both join sides). Results are identical
-    modulo 64-bit hash collisions (~2^-64 per cross-doc comparison).
-    ``df`` is expected to carry one row per doc_id (true of every corpus
-    table here); pre-dedupe rows otherwise."""
+    ONCE per doc as an array (no explode→distinct shuffle, no doc_id
+    join for the block column), with each doc's set size carried through
+    the explode so the two counts joins of the old formulation fold into
+    the pair aggregation's grouping keys. The self-join shuffles narrow
+    (doc, hash, count) rows whose one exchange is computed once and read
+    by both sides (ReuseExchange), where the string formulation shuffled
+    exploded shingle strings and re-derived the shingle set four times
+    (counts + both join sides). Results are identical modulo 64-bit hash
+    collisions (~2^-64 per cross-doc comparison). ``df`` is expected to
+    carry one row per doc_id (true of every corpus table here);
+    pre-dedupe rows otherwise."""
     from .session import spread_scan
 
     sets = spread_scan(df.select("doc_id", block_col, text_col)).select(
@@ -147,29 +147,21 @@ def ngram_jaccard_pairs(
             F.size("_h").cast("long").alias("n_sh"),
             F.explode("_h").alias("sh_h"),
         )
-    # inverted index: docs sharing a shingle, pairs emitted per group
-    members = F.sort_array(F.collect_list(F.struct("doc_id", "n_sh")))
-    grp = sh.groupBy("sh_h", block_col).agg(members.alias("ms"))
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("doc1"),
-                        x["n_sh"].alias("n1"),
-                        y["doc_id"].alias("doc2"),
-                        y["n_sh"].alias("n2"),
-                    ),
-                ),
-            )
-        )
-    )
+    a = sh.alias("a")
+    b = sh.alias("b")
     inter = (
-        grp.select(pair.alias("p"))
-        .select("p.*")
-        .groupBy("doc1", "n1", "doc2", "n2")
+        a.join(
+            b,
+            (F.col("a.sh_h") == F.col("b.sh_h"))
+            & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("b.n_sh").alias("n2"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
     return (

@@ -337,9 +337,18 @@ class SignatureIndex(IncrementalIndex):
         nb = band_keys(nsig, k=self.k, bands=self.bands).select(
             F.col("doc_id").alias("new_id"), "band", "band_key"
         )
-        ib = cap_hot_bands(
-            band_keys(self.signatures(), k=self.k, bands=self.bands), max_band
+        # r6: semi-join the index's band rows down to the batch's band
+        # keys BEFORE the hot-band cap — the cap's rank is computed per
+        # (band, band_key) group and the semi-join keeps whole groups, so
+        # the retained members are identical, but the row_number window
+        # now sorts only the matching groups instead of shuffling every
+        # band row of the index on every probe.
+        ib = band_keys(self.signatures(), k=self.k, bands=self.bands).join(
+            F.broadcast(nb.select("band", "band_key").distinct()),
+            ["band", "band_key"],
+            "leftsemi",
         )
+        ib = cap_hot_bands(ib, max_band)
         return (
             ib.join(F.broadcast(nb), ["band", "band_key"])
             .where(F.col("doc_id") != F.col("new_id"))
@@ -463,7 +472,16 @@ class SimhashIndex(IncrementalIndex):
         sims = self.sims()
         if max_chunk is None:
             max_chunk = default_bucket_cap(_cap_row_count(sims, None), 65536)
-        ib = sim_chunks(sims)
+        # semi-join to the batch's chunk keys before the hot-chunk cap —
+        # whole groups are kept, so the cap's per-group rank (and thus the
+        # retained member set) is unchanged while the window no longer
+        # shuffles every chunk row of the index per probe (same shape as
+        # SignatureIndex.probe).
+        ib = sim_chunks(sims).join(
+            F.broadcast(nb.select("chunk_idx", "chunk").distinct()),
+            ["chunk_idx", "chunk"],
+            "leftsemi",
+        )
         if max_chunk > 0:
             from pyspark.sql import Window
 
