@@ -112,6 +112,66 @@ def bucket_expr(key_col: str, n_buckets: int) -> F.Column:
     return F.pmod(F.hash(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _mm3_mix(h1: int, halfword: int) -> int:
+    """One Murmur3_x86_32 block step (mixK1 + mixH1), 32-bit wrapped."""
+    k1 = (halfword * 0xCC9E2D51) & 0xFFFFFFFF
+    k1 = ((k1 << 15) | (k1 >> 17)) & 0xFFFFFFFF
+    k1 = (k1 * 0x1B873593) & 0xFFFFFFFF
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & 0xFFFFFFFF
+    return (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _mm3_fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - 0x100000000 if h1 & 0x80000000 else h1  # signed int32
+
+
+def bucket_of(key, n_buckets: int, key_type: T.DataType) -> int | None:
+    """Driver-side replica of ``bucket_expr`` for int/long/string keys —
+    Spark's Murmur3_x86_32 (seed 42) with its non-standard tail (each
+    remaining SIGNED byte mixed as its own one-byte block), then pmod.
+    Lets point lookups map keys to buckets without launching a one-row
+    Spark job per call. Returns None for key values/types it cannot
+    replicate (callers fall back to evaluating the Catalyst expression);
+    equality with ``bucket_expr`` is property-tested in
+    tests/test_plans.py."""
+    seed = 42
+    if key is None or isinstance(key, bool):
+        return None
+    if isinstance(key_type, (T.LongType, T.IntegerType)) and isinstance(key, int):
+        if isinstance(key_type, T.IntegerType):
+            if not (-(1 << 31) <= key < (1 << 31)):
+                return None
+            h1 = _mm3_mix(seed, key & 0xFFFFFFFF)
+            h = _mm3_fmix(h1, 4)
+        else:
+            if not (-(1 << 63) <= key < (1 << 63)):
+                return None
+            v = key & 0xFFFFFFFFFFFFFFFF
+            h1 = _mm3_mix(seed, v & 0xFFFFFFFF)
+            h1 = _mm3_mix(h1, v >> 32)
+            h = _mm3_fmix(h1, 8)
+    elif isinstance(key_type, T.StringType) and isinstance(key, str):
+        data = key.encode("utf-8")
+        n = len(data)
+        h1 = seed
+        for i in range(0, n - n % 4, 4):
+            h1 = _mm3_mix(h1, int.from_bytes(data[i:i + 4], "little"))
+        for i in range(n - n % 4, n):
+            sb = data[i] if data[i] < 128 else data[i] - 256
+            h1 = _mm3_mix(h1, sb & 0xFFFFFFFF)
+        h = _mm3_fmix(h1, n)
+    else:
+        return None
+    return ((h % n_buckets) + n_buckets) % n_buckets
+
+
 def _normalize_to(df: DataFrame, target: T.StructType, *, evolved: bool) -> DataFrame:
     """Cast/pad a (possibly old-schema) DataFrame to the target schema.
 
@@ -905,16 +965,22 @@ class IceboxTable:
         pushed predicate."""
         snap = self._snap
         nb = self.n_buckets
-        # driver-side replica of bucket_expr via a tiny local Spark expr is
-        # avoided: murmur3 isn't exposed to Python, so evaluate the same
-        # Catalyst expression on a one-row-per-key local DataFrame (cheap,
-        # bounded by len(keys))
-        key_type = self.schema[self.key].dataType.simpleString()
-        kdf = self.spark.createDataFrame([(k,) for k in keys], f"{self.key}: {key_type}")
-        buckets = {
-            int(r["b"])
-            for r in kdf.select(bucket_expr(self.key, nb).alias("b")).collect()
-        }
+        # bucket ids driver-side with the pure-Python murmur3 replica of
+        # bucket_expr (zero Spark jobs — property-tested equal); keys the
+        # replica cannot hash fall back to evaluating the same Catalyst
+        # expression on a one-row-per-key local DataFrame
+        dt = self.schema[self.key].dataType
+        mapped = [bucket_of(k, nb, dt) for k in keys]
+        buckets = {b for b in mapped if b is not None}
+        unmapped = [k for k, b in zip(keys, mapped) if b is None]
+        if unmapped:
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in unmapped], f"{self.key}: {dt.simpleString()}"
+            )
+            buckets |= {
+                int(r["b"])
+                for r in kdf.select(bucket_expr(self.key, nb).alias("b")).collect()
+            }
         entries = self._bloom_prune(
             self._entries_for_keys(
                 [e for e in snap["manifest"] if e["bucket"] in buckets], keys

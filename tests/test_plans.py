@@ -22,6 +22,41 @@ def _plan(df, mode: str = "formatted") -> str:
     return df._jdf.queryExecution().explainString(jmode)
 
 
+def test_bucket_of_matches_bucket_expr(spark):
+    """The driver-side murmur3 replica (icebox.bucket_of) must agree with
+    the Catalyst bucket_expr for every supported key type — point-lookup
+    bucket pruning is CORRECTNESS, not a hint, so any divergence loses
+    rows. Covers ascii/unicode/empty strings (all tail lengths), signed
+    ints and longs at the extremes, and both int key widths."""
+    import random
+
+    import pyspark.sql.types as T
+
+    from sparkcdc.icebox import bucket_of
+
+    rng = random.Random(13)
+    strs = ["", "a", "ab", "abc", "abcd", "abcde", "DOC-00000042",
+            "naïve", "ключ", "日本語キー", "\x00\x7f", "x" * 257] + [
+        "".join(rng.choice("abcXYZ09-_é漢") for _ in range(rng.randint(0, 24)))
+        for _ in range(300)
+    ]
+    longs = [0, 1, -1, 7, -7, 2**31 - 1, -(2**31), 2**63 - 1, -(2**63),
+             42, 123456789012345] + [rng.randint(-(2**63), 2**63 - 1)
+                                     for _ in range(300)]
+    ints = [v for v in longs if -(2**31) <= v < 2**31]
+    for nb in (8, 64, 63):
+        for vals, dt, ddl in (
+            (strs, T.StringType(), "string"),
+            (longs, T.LongType(), "bigint"),
+            (ints, T.IntegerType(), "int"),
+        ):
+            df = spark.createDataFrame([(v,) for v in vals], f"k: {ddl}")
+            want = [r["b"] for r in df.select(
+                bucket_expr("k", nb).alias("b")).collect()]
+            got = [bucket_of(v, nb, dt) for v in vals]
+            assert got == want, (nb, ddl)
+
+
 def test_bucket_expr_matches_spark_partition_id(spark):
     for nb in (8, 64):
         df = generate_changelog(spark, 20_000, 2_000, seed=5).select("doc_id")
