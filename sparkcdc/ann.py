@@ -46,12 +46,20 @@ def cosine_topk(
     """Exact top-k neighbors for the first ``n_queries`` vectors (query =
     vec_id < n_queries), excluding self. Output: (query_id, neighbor_id,
     rank, cos) with cos rounded to 6 dp for cross-engine determinism."""
+    # norms are computed ONCE per query row and once per candidate row
+    # (not per joined pair): same expression over the same array, so the
+    # qn*cn product is bit-identical to the inline formulation, but the
+    # interpreted higher-order aggregate runs N+Q times instead of N*Q
     q = emb.where(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     joined = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
-    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         joined.select("query_id", "neighbor_id", cos.alias("cos"))
@@ -175,17 +183,20 @@ def ivf_ann_topk(
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
         F.element_at(_ivf_assign_expr(vec_col, centroids, top=1), 1)["cid"].alias("cluster"),
     )
     q = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
         F.explode(
             F.transform(_ivf_assign_expr(vec_col, centroids, top=nprobe), lambda s: s["cid"])
         ).alias("cluster"),
     )
     joined = c.join(F.broadcast(q), "cluster").where(F.col("neighbor_id") != F.col("query_id"))
-    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    # per-side norms (see cosine_topk): bit-identical product, N+Q evals
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         joined.select("query_id", "neighbor_id", cos.alias("cos"))
@@ -358,10 +369,14 @@ def cosine_near_dup_pairs(
         .select("id1", "id2")
         .distinct()
     )
-    v1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    v2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    v1 = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+                    _norm(F.col(vec_col)).alias("n1"))
+    v2 = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+                    _norm(F.col(vec_col)).alias("n2"))
     pairs = cand.join(v1, "id1").join(v2, "id2")
-    cos = F.round(_dot(F.col("v1"), F.col("v2")) / (_norm(F.col("v1")) * _norm(F.col("v2"))), 6)
+    # per-side norms (see cosine_topk): bit-identical product, one eval
+    # per vector row instead of one per verified pair
+    cos = F.round(_dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6)
     return pairs.select("id1", "id2", cos.alias("cos")).where(F.col("cos") >= threshold)
 
 
@@ -409,10 +424,13 @@ def lsh_ann_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                    _norm(F.col(vec_col)).alias("qn"))
+    cv = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                    _norm(F.col(vec_col)).alias("cn"))
     joined = cand.join(F.broadcast(qv.where(F.col("query_id") < n_queries)), "query_id").join(cv, "neighbor_id")
-    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6)
+    # per-side norms (see cosine_topk): bit-identical product
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         joined.select("query_id", "neighbor_id", cos.alias("cos"))

@@ -197,14 +197,18 @@ class VectorIndex(IncrementalIndex):
         )
         vecs = self.table.read().select("vec_id", "embedding")
         qv = vecs.where(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+            _norm(F.col("embedding")).alias("qn"),
         )
         cv = vecs.select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("cn"),
         )
         joined = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+        # per-side norms (see ann.cosine_topk): bit-identical product, one
+        # interpreted norm eval per vector row instead of per pair
         cos = F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
         return (
@@ -252,13 +256,17 @@ class VectorIndex(IncrementalIndex):
             .select("query_id", "neighbor_id")
             .distinct()
         )
-        qv = qtag.select("query_id", "qv").distinct()
+        qv = qtag.select("query_id", "qv").distinct().withColumn(
+            "qn", _norm(F.col("qv"))
+        )
         cv = self.table.read().select(
-            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
+            _norm(F.col("embedding")).alias("cn"),
         )
         joined = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+        # per-side norms (see ann.cosine_topk): bit-identical product
         cos = F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
         return (
