@@ -283,6 +283,12 @@ class AggView(IncrementalIndex):
         ties the stored extremum (the one case min/max cannot be updated
         monotonically). Exactly-once: the MERGE batch id is the (from, to)
         snapshot pair, so a crash-replay of the same window is fenced."""
+        # refresh the source handle FIRST: the widening check must see the
+        # schema the window's CDF will be read at — validating against a
+        # stale handle would miss a widening committed inside the window
+        # and let the view merge's normalization cast silently wrap wide
+        # values (the exact corruption _evolve_with_source exists to stop)
+        src_table.refresh()
         self._evolve_with_source(src_table)
         from_sid, to_sid, ch = self._window(src_table, consumer=consumer, mode="cdf")
         if ch is None:

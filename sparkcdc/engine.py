@@ -116,6 +116,14 @@ class CDCEngine:
             log_df = read_log(spark, cfg.log_path, fmt=cfg.log_format)
             self._log_is_parquet_wal = cfg.log_format == "parquet"
             self._log_is_json_wal = cfg.log_format == "json"
+            # path-backed WALs are re-opened at the start of every run():
+            # Spark caches the file listing in the DataFrame's relation, so
+            # a handle built here would never see segments appended between
+            # runs (planning reads footers directly and WOULD see them —
+            # the scan must not lag the plan)
+            self._log_from_path = True
+        else:
+            self._log_from_path = False
         self.log = log_df
         # string columns upgraded to timestamp by a dynamic re-guess, with
         # their detected strftime formats: the engine parses them itself
@@ -202,6 +210,28 @@ class CDCEngine:
 
             if AggView.table_exists(cfg.aggview_path):
                 self.aggview = AggView.load(spark, cfg.aggview_path)
+                # a loaded view keeps maintaining its PERSISTED spec; a
+                # silently-ignored config change would leave the operator
+                # believing the new spec is live — fail loudly instead
+                want_groups = list(cfg.aggview_group_cols or [])
+                want_aggs = {
+                    k: (v[0], v[1]) for k, v in (cfg.aggview_aggs or {}).items()
+                }
+                have_aggs = {
+                    k: (kind, col) for k, (kind, col) in self.aggview.aggs.items()
+                }
+                if (
+                    list(self.aggview.group_cols) != want_groups
+                    or have_aggs != want_aggs
+                ):
+                    raise ConfigError(
+                        f"aggview at {cfg.aggview_path!r} was created with "
+                        f"group_cols={list(self.aggview.group_cols)}, "
+                        f"aggs={have_aggs}, but the config now declares "
+                        f"group_cols={want_groups}, aggs={want_aggs} — drop "
+                        f"the view (or point aggview_path elsewhere) to "
+                        f"change its spec"
+                    )
             else:
                 try:
                     self.aggview = AggView.create(
@@ -512,6 +542,11 @@ class CDCEngine:
         entirely (with per-batch splitting disabled) when the WAL's
         parquet footers prove zero nulls in key/op/seq."""
         cfg = self.cfg
+        # re-arm per-batch splitting at the start of EVERY run: a previous
+        # run on this engine instance may have proven the then-current WAL
+        # clean and disabled it, but newly appended segments can carry
+        # nulls — the footer probe below re-evaluates the current files
+        self._dlq_split = bool(cfg.dlq_path)
         if self._log_is_parquet_wal:
             from .changelog import null_counts_parquet_stats
 
@@ -628,6 +663,12 @@ class CDCEngine:
 
     def run(self, max_batches: int | None = None) -> dict:
         """Apply all pending ranges (resumable at any point)."""
+        if self._log_from_path:
+            from .changelog import read_log
+
+            self.log = read_log(
+                self.spark, self.cfg.log_path, fmt=self.cfg.log_format
+            )
         if self.cfg.dynamic_schema:
             changes = self._dynamic_reguess()
             if changes:

@@ -841,13 +841,23 @@ class IceboxTable:
         if mode == "cdf":
             return self._cdf(old_state, new_state, payload_cols)
         o = old_state.select(
-            F.col(key).alias("_k"), F.col(SEQ_COL).alias("_old_seq")
+            F.col(key).alias("_k"),
+            F.col(SEQ_COL).alias("_old_seq"),
+            F.struct(*payload_cols).alias("_old_payload"),
         )
         n = new_state.alias("n")
         joined = n.join(o, F.col(f"n.{key}") == F.col("_k"), "full_outer")
+        # a key counts as changed when its seq DIFFERS (not only advances:
+        # a rollback restores the pre-update row at a LOWER seq, and that
+        # reversal must reach change-feed consumers — the self-heal
+        # contract) or, at an identical seq, when the payload differs (a
+        # corrected re-publish)
+        same_row = (F.col(f"n.{SEQ_COL}") == F.col("_old_seq")) & F.struct(
+            *[F.col(f"n.{c}") for c in payload_cols]
+        ).eqNullSafe(F.col("_old_payload"))
         upserts = joined.where(
             F.col(f"n.{key}").isNotNull()
-            & (F.col("_old_seq").isNull() | (F.col(f"n.{SEQ_COL}") > F.col("_old_seq")))
+            & (F.col("_old_seq").isNull() | ~same_row)
         ).select(F.lit("upsert").alias("_change"), *payload_cols, SEQ_COL)
         # a delete's own LSN is not retained for physically-removed rows;
         # _seq carries the last version that was visible at from_snapshot
@@ -879,7 +889,13 @@ class IceboxTable:
         joined = n.join(o, F.col(f"n.{key}") == F.col(f"_o_{key}"), "full_outer")
         new_here = F.col(f"n.{key}").isNotNull()
         old_here = F.col(f"_o_{key}").isNotNull()
-        updated = new_here & old_here & (F.col(f"n.{SEQ_COL}") > F.col("_old_seq"))
+        # seq-DIFFERS (not only advances) or payload-differs — see
+        # read_changes: a rollback's restored row sits at a LOWER seq and
+        # must still emit its pre/post image pair
+        same_row = (F.col(f"n.{SEQ_COL}") == F.col("_old_seq")) & F.struct(
+            *[F.col(f"n.{c}") for c in payload_cols]
+        ).eqNullSafe(F.struct(*[F.col(f"_o_{c}") for c in payload_cols]))
+        updated = new_here & old_here & ~same_row
 
         def img(change: str, prefix: str, seq_expr) -> F.Column:
             return F.struct(

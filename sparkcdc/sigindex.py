@@ -142,11 +142,20 @@ class IncrementalIndex:
         key = self.table.key
         schema = self.table.schema
         payload_cols = [f.name for f in schema.fields if f.name != key]
+        # the index row's LWW seq is the WINDOW's target snapshot id, not
+        # the source row's own seq (PackedTable's convention): refresh
+        # order is what must win. With row seqs, a rollback-restored row
+        # (lower seq than the stale indexed version) would LOSE the merge
+        # and the index would keep the rolled-back value forever — the
+        # change feed now emits such reversals (icebox.read_changes) and
+        # the monotone to_sid lets them land. Exactly-once is unchanged:
+        # the batch id is still the (from, to) snapshot pair.
+        win_seq = F.lit(int(to_sid)).cast("long").alias("_seq")
         ups = ch.where(F.col("_change") == "upsert")
         derived = derive(ups)
-        keyed = ups.select(key, "_seq")
+        keyed = ups.select(key)
         idx_up = keyed.join(derived, key).select(
-            F.lit("upsert").alias("_change"), key, *payload_cols, "_seq"
+            F.lit("upsert").alias("_change"), key, *payload_cols, win_seq
         )
         nulls = [
             F.lit(None).cast(f.dataType).alias(f.name)
@@ -156,9 +165,9 @@ class IncrementalIndex:
         unrepresentable = keyed.join(derived.select(key), key, "left_anti")
         removals = (
             ch.where(F.col("_change") == "delete")
-            .select(key, "_seq")
+            .select(key)
             .unionByName(unrepresentable)
-            .select(F.lit("delete").alias("_change"), key, *nulls, "_seq")
+            .select(F.lit("delete").alias("_change"), key, *nulls, win_seq)
         )
         m = self.table.merge(
             idx_up.unionByName(removals),

@@ -467,3 +467,71 @@ def test_spec_validation(spark, tmp_path):
     with pytest.raises(AggSpecError, match="collides"):
         AggView.create(spark, str(tmp_path / "f"), group_cols=["source"],
                        aggs={"source": ("count", None)}, source_schema=SCHEMA)
+
+
+def test_widening_committed_through_other_handle_is_seen(spark, tmp_path):
+    """r6 ADVICE fix: the widening check must run against the REFRESHED
+    source handle. A widening + wide merge committed through ANOTHER
+    handle (or another driver) inside the change window would otherwise
+    be validated against the stale schema and the view merge's
+    normalization cast could wrap the wide value."""
+    from sparkcdc.icebox import IceboxTable as _IT
+
+    src = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+    ])
+    t = _IT.create(spark, str(tmp_path / "t"), src, key="doc_id", n_buckets=2)
+    t.merge(spark.createDataFrame(
+        [("upsert", i, "s0", 10 + i, i + 1) for i in range(4)],
+        "op string, doc_id long, source string, n_tok int, seq long"), "b1")
+    view = AggView.create(
+        spark, str(tmp_path / "v"), group_cols=["source"],
+        aggs={"tok": ("sum", "n_tok"), "mx": ("max", "n_tok")},
+        source_schema=src,
+    )
+    view.refresh_from(t)
+    # widening + wide value arrive through a DIFFERENT handle; the view's
+    # handle `t` is now stale
+    other = _IT.load(spark, str(tmp_path / "t"))
+    other.update_schema(T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_tok", T.LongType()),
+    ]))
+    other.merge(spark.createDataFrame(
+        [("upsert", 50, "s0", 2 ** 33, 100)],
+        "op string, doc_id long, source string, n_tok long, seq long"), "b2")
+    view.refresh_from(t)  # stale handle — must refresh before validating
+    [row] = view.read().collect()
+    assert row.mx == 2 ** 33 and row.tok == sum(10 + i for i in range(4)) + 2 ** 33
+
+
+def test_engine_rejects_changed_spec_for_existing_view(spark, tmp_path):
+    """r6 ADVICE fix: when the aggview table already exists, a config whose
+    spec differs from the persisted one must raise ConfigError instead of
+    silently maintaining the old spec."""
+    from sparkcdc.changelog import generate_changelog, write_log_parquet
+    from sparkcdc.config import ConfigError, JobConfig
+    from sparkcdc.engine import CDCEngine
+
+    log = generate_changelog(spark, 1_000, 100, seed=3)
+    wal_path = str(tmp_path / "wal")
+    write_log_parquet(log, wal_path)
+    base = dict(
+        log_path=wal_path, table_path=str(tmp_path / "tbl"), n_buckets=2,
+        batch_size=1_000, aggview_path=str(tmp_path / "view"),
+        aggview_group_cols=["source"],
+        aggview_aggs={"n_docs": ["count", None]},
+    )
+    CDCEngine(spark, JobConfig(**base)).run()
+    # same spec reloads fine
+    CDCEngine(spark, JobConfig(**base))
+    with pytest.raises(ConfigError, match="spec"):
+        CDCEngine(spark, JobConfig(**{
+            **base, "aggview_aggs": {"n_docs": ["count", None],
+                                     "sum_tok": ["sum", "n_tok"]},
+        }))
+    with pytest.raises(ConfigError, match="spec"):
+        CDCEngine(spark, JobConfig(**{**base, "aggview_group_cols": ["op"]}))

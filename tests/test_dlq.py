@@ -146,3 +146,29 @@ def test_null_counts_footer_probe(spark, tmp_path):
     stats = null_counts_parquet_stats(wal, ["doc_id", "op", "seq", "nope"])
     assert stats["doc_id"] == 2 and stats["op"] == 2 and stats["seq"] == 1
     assert stats["nope"] is None  # absent column → caller falls back
+
+
+def test_splitting_rearms_for_new_wal_segments_on_same_engine(spark, tmp_path):
+    """r6 ADVICE fix: a run that proved the WAL clean disables per-batch
+    splitting — but a LATER run() on the same engine instance must
+    re-evaluate, or newly appended malformed segments would pollute the
+    table despite a configured DLQ."""
+    good, bad = _wal_rows()
+    wal = str(tmp_path / "wal")
+    _write_wal(spark, good, wal)  # clean WAL: footers disable splitting
+    dlq = str(tmp_path / "dlq")
+    cfg = JobConfig(log_path=wal, table_path=str(tmp_path / "tbl"),
+                    n_buckets=2, batch_size=100, dlq_path=dlq)
+    eng = CDCEngine(spark, cfg)
+    eng.run()
+    assert eng._dlq_split is False  # footer-proven clean
+    # append malformed rows (null key at seq 41, null op at 42) as a new
+    # segment, then re-run the SAME engine instance
+    spark.createDataFrame(
+        [(44, "upsert", "DX", [9], 1, "src0")] + bad[:2], WAL_DDL
+    ).coalesce(1).write.mode("append").parquet(wal)
+    eng.run()
+    assert eng.table.read().where(F.col("doc_id").isNull()).count() == 0
+    reasons = sorted(r.dlq_reason for r in read_dlq(spark, dlq).collect())
+    assert reasons == ["null-key", "null-op"]
+    assert ("DX", (9,), 1) in _state(eng.table)

@@ -234,3 +234,83 @@ def test_concurrent_writer_conflicts_with_rollback(spark, tmp_path):
     t.refresh()
     st = _state(t)
     assert (1, "a", 777) in st and not any(d == 9 for d, _, _ in st)
+
+
+def test_rollback_of_update_emits_reversal_and_consumers_self_heal(
+    spark, tmp_path
+):
+    """The r6 ADVICE gap: rolling back past a pure UPDATE restores the row
+    at a LOWER seq. The change feed must still emit the reversal (both
+    modes), and both delta-maintained (AggView) and LWW-merged
+    (SignatureIndex-style) consumers must converge to the restored state
+    on their normal incremental refresh."""
+    from sparkcdc.aggview import AggView
+
+    t = IceboxTable.create(spark, str(tmp_path / "t"), SCHEMA, key="doc_id",
+                           n_buckets=4)
+    t.merge(_log(spark, [("upsert", i, f"s{i % 2}", i) for i in range(6)], 1),
+            "b1")
+    good = t.snapshot["snapshot_id"]
+    view = AggView.create(
+        spark, str(tmp_path / "v"), group_cols=["source"],
+        aggs={"n": ("count", None), "tok": ("sum", "n_tok")},
+        source_schema=SCHEMA,
+    )
+    view.refresh_from(t)
+    # pure UPDATES only — no inserts or deletes, the case the old
+    # strictly-greater seq comparison silently dropped
+    t.merge(_log(spark, [("upsert", 2, "s0", 999), ("upsert", 3, "s1", 888)],
+                 100), "b2-bad")
+    view.refresh_from(t)
+    bad = t.snapshot["snapshot_id"]
+    t.rollback(good)
+
+    # the feed emits the reversal in both modes (restored rows at LOWER seq)
+    net = t.read_changes(bad).collect()
+    assert sorted(r.doc_id for r in net) == [2, 3]
+    assert all(r._change == "upsert" for r in net)
+    assert sorted((r.doc_id, r.n_tok) for r in net) == [(2, 2), (3, 3)]
+    cdf = t.read_changes(bad, mode="cdf").collect()
+    assert sorted(
+        (r.doc_id, r._change_type, r.n_tok) for r in cdf
+    ) == [(2, "update_postimage", 2), (2, "update_preimage", 999),
+          (3, "update_postimage", 3), (3, "update_preimage", 888)]
+
+    # delta-maintained consumer heals on its normal refresh
+    view.refresh_from(t)
+    got = sorted(tuple(r) for r in view.read().collect())
+    want = sorted(tuple(r) for r in t.read().groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok")).collect())
+    assert got == want
+
+    # LWW-merged consumer (IncrementalIndex machinery) heals too: the
+    # refresh-window snapshot id is its merge seq, so the restored
+    # (lower-seq) payload wins over the stale indexed version
+    from sparkcdc.sigindex import IncrementalIndex
+
+    class _Mirror(IncrementalIndex):
+        def __init__(self, table):
+            self.table = table
+
+        def refresh_from(self, src):
+            return self._refresh(
+                src, consumer="mirror",
+                derive=lambda ups: ups.select("doc_id", "source", "n_tok"),
+            )
+
+    mt = IceboxTable.create(spark, str(tmp_path / "m"), SCHEMA, key="doc_id",
+                            n_buckets=4)
+    mirror = _Mirror(mt)
+    # replay the same history through the mirror: good -> bad -> rollback
+    t2 = IceboxTable.create(spark, str(tmp_path / "t2"), SCHEMA, key="doc_id",
+                            n_buckets=4)
+    t2.merge(_log(spark, [("upsert", i, f"s{i % 2}", i) for i in range(6)], 1),
+             "b1")
+    good2 = t2.snapshot["snapshot_id"]
+    mirror.refresh_from(t2)
+    t2.merge(_log(spark, [("upsert", 2, "s0", 999)], 100), "b2-bad")
+    mirror.refresh_from(t2)
+    assert (2, "s0", 999) in _state(mirror.table)
+    t2.rollback(good2)
+    mirror.refresh_from(t2)
+    assert _state(mirror.table) == _state(t2)
