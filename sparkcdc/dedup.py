@@ -29,7 +29,7 @@ def lww_dedup(
 ) -> DataFrame:
     """One row per ``key``: the row with max ``seq``. Order-insensitive:
     any permutation / duplication of the input yields the same output
-    (property-tested in tests/test_dedup.py)."""
+    (property-tested in tests/test_properties.py)."""
     cols = df.columns
     payload = F.struct(*[F.col(c) for c in cols])
     if not salted:
