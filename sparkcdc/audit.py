@@ -313,6 +313,7 @@ def wap_ingest(
     ts_col: str | None = None,
     fence: bool = True,
     tombstones: bool = False,
+    probe_stats: dict | None = None,
 ) -> dict:
     """Stage → audit → publish-or-abort, exactly-once on ``batch_id``.
 
@@ -335,7 +336,7 @@ def wap_ingest(
         res = table.merge(
             batch, batch_id, stage=wap_id, mor=mor, seq_col=seq_col,
             op_col=op_col, delete_value=delete_value, ts_col=ts_col,
-            fence=fence, tombstones=tombstones,
+            fence=fence, tombstones=tombstones, probe_stats=probe_stats,
         )
         if res.get("skipped"):
             return res  # batch already published (exactly-once)

@@ -137,6 +137,9 @@ class CDCEngine:
                 spark, cfg.table_path, schema, key=cfg.key, n_buckets=cfg.n_buckets
             )
         self.metrics = MetricsLog(cfg.table_path)
+        # per-run prefetched merge-probe statistics, keyed by (lo, hi)
+        # batch range (see _prefetch_probe_stats)
+        self._probe_stats: dict[tuple[int, int], dict] = {}
         self.sigindex = None
         if cfg.sigindex_path:
             from .config import ConfigError
@@ -317,6 +320,63 @@ class CDCEngine:
             hi = max_seq(self.log, seq_col=self.cfg.seq_col)
         b = self.cfg.batch_size
         return [(lo, min(lo + b, hi)) for lo in range(last, hi, b)]
+
+    def _prefetch_probe_stats(
+        self, plan: list[tuple[int, int]]
+    ) -> dict[tuple[int, int], dict]:
+        """One WAL pass computing EVERY planned batch's merge-probe
+        statistics (per-bucket event count, max LSN, max event ts).
+
+        The merge's probe is a per-batch Spark job over the batch slice;
+        across an N-batch replay that is N jobs reading the same total
+        bytes this single pass reads (the WAL slices are disjoint and
+        file-pruned either way) plus N-1 redundant job-scheduling
+        round-trips. ``plan_batches`` ranges are the contiguous uniform
+        grid ``(lo0 + i*b, lo0 + (i+1)*b]``, so each event's batch index
+        is integer arithmetic on its LSN — one groupBy (batch, bucket)
+        replaces N groupBy (bucket) jobs.
+
+        The rows feed ``IceboxTable.merge(probe_stats=...)``, which
+        re-validates equivalence (fence ≤ lo, unchanged bucket layout)
+        and re-probes itself whenever a concurrent commit or a mid-run
+        rebucket invalidated a prefetched entry. The engine only calls
+        this when per-batch quarantine is off (``_dlq_split`` — a
+        quarantine drops rows AFTER the prefetch, which would make the
+        counts stale), and never larger than ``batches × n_buckets ≤
+        200k`` collected rows (past that, per-batch probes keep driver
+        memory flat)."""
+        df = self._apply_dynamic_ts(
+            self._project_declared(
+                scan_slice(
+                    self.log, plan[0][0], plan[-1][1], seq_col=self.cfg.seq_col
+                )
+            )
+        )
+        from .icebox import bucket_expr
+
+        key, nb = self.table.key, self.table.n_buckets
+        lo0, b = plan[0][0], self.cfg.batch_size
+        idx = F.floor(
+            (F.col(self.cfg.seq_col).cast("long") - F.lit(lo0) - 1) / F.lit(b)
+        ).cast("int")
+        aggs = [F.count("*").alias("n"), F.max(self.cfg.seq_col).alias("mx")]
+        has_ts = bool(self.cfg.ts_col) and self.cfg.ts_col in df.columns
+        if has_ts:
+            aggs.append(F.max(self.cfg.ts_col).alias("mts"))
+        rows = (
+            df.groupBy(idx.alias("_i"), bucket_expr(key, nb).alias("_bucket"))
+            .agg(*aggs)
+            .collect()
+        )
+        out = {
+            rng: {"lo": rng[0], "nb": nb, "key": key, "rows": []} for rng in plan
+        }
+        for r in rows:
+            entry = {"_bucket": r["_bucket"], "n": r["n"], "mx": r["mx"]}
+            if has_ts:
+                entry["mts"] = r["mts"]
+            out[plan[int(r["_i"])]]["rows"].append(entry)
+        return out
 
     # ---------------- evolution ----------------
 
@@ -577,6 +637,11 @@ class CDCEngine:
         n_dlq = 0
         if self._dlq_split:
             batch, n_dlq = self._quarantine_malformed(batch, batch_id)
+        # prefetched probe stats are aggregates over the UNQUARANTINED
+        # slice — only valid when quarantine did not touch this batch
+        probe_stats = (
+            self._probe_stats.get((lo, hi)) if not self._dlq_split else None
+        )
         changes = self._maybe_evolve(batch)
         attempt, wait = 0, self.cfg.retry_initial_wait_sec
         while True:
@@ -596,12 +661,13 @@ class CDCEngine:
                         checks=build_checks(self.cfg.audit_checks),
                         mor=mor, seq_col=self.cfg.seq_col,
                         op_col=self.cfg.op_col, ts_col=self.cfg.ts_col,
+                        probe_stats=probe_stats,
                     )
                 else:
                     m = self.table.merge(
                         batch, batch_id, seq_col=self.cfg.seq_col,
                         op_col=self.cfg.op_col, ts_col=self.cfg.ts_col,
-                        mor=mor,
+                        mor=mor, probe_stats=probe_stats,
                     )
                 break
             except Exception as exc:
@@ -679,6 +745,13 @@ class CDCEngine:
         plan = self.plan_batches()
         if max_batches is not None:
             plan = plan[:max_batches]
+        self._probe_stats = (
+            self._prefetch_probe_stats(plan)
+            if plan
+            and not self._dlq_split
+            and len(plan) * self.table.n_buckets <= 200_000
+            else {}
+        )
         for i, (lo, hi) in enumerate(plan, 1):
             self.apply_batch(lo, hi)
             if self.sigindex is not None:

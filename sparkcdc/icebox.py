@@ -1973,9 +1973,24 @@ class IceboxTable:
         mor: bool | None = False,
         conflict_retries: int = 3,
         stage: str | None = None,
+        probe_stats: dict | None = None,
     ) -> dict:
         """Key-partitioned MERGE of a micro-batch: last-writer-wins upsert +
         delete, idempotent on batch_id.
+
+        ``probe_stats``: optional pre-computed batch-plan statistics (the
+        engine's one-pass prefetch over ALL planned batches — replaces the
+        per-merge probe job). Shape: ``{"lo": <slice lower bound>, "nb":
+        n_buckets, "key": key, "rows": [{"_bucket", "n", "mx"[, "mts"]}]}``.
+        The caller GUARANTEES the rows were aggregated over exactly
+        ``updates`` filtered to ``seq > lo`` with this table's bucket
+        function; the merge only trusts them when that claim is still
+        provably equivalent to its own probe — ``fence`` mode, the fence
+        LSN at or below ``lo`` (the slice bound then dominates the fence
+        filter), and an unchanged bucket layout/key — and falls back to
+        running the probe itself otherwise (e.g. after a concurrent
+        commit advanced the fence past the slice, or a rebucket changed
+        ``n_buckets`` mid-run).
 
         ``stage`` (write-audit-publish): instead of committing, park the
         fully-computed commit delta as ``staged-<stage>.json`` — data
@@ -2031,7 +2046,7 @@ class IceboxTable:
                     updates, batch_id, seq_col=seq_col, op_col=op_col,
                     delete_value=delete_value, fence=fence,
                     tombstones=tombstones, ts_col=ts_col, mor=mor,
-                    stage=stage,
+                    stage=stage, probe_stats=probe_stats,
                 )
             except CommitConflictError as exc:
                 last_err = exc
@@ -2050,6 +2065,7 @@ class IceboxTable:
         ts_col: str | None,
         mor: bool | None,
         stage: str | None = None,
+        probe_stats: dict | None = None,
     ) -> dict:
         import time as _time
 
@@ -2074,15 +2090,28 @@ class IceboxTable:
         #    a cheap probe, and the manifest-level partition-pruning step.
         #    Counts are pre-dedup events (the "applied events" metric); the
         #    event-time watermark piggybacks on the same action.
-        probe_aggs = [F.count("*").alias("n"), F.max(seq_col).alias("mx")]
         has_ts = bool(ts_col) and ts_col in raw.columns
-        if has_ts:
-            probe_aggs.append(F.max(ts_col).alias("mts"))
-        stats = (
-            raw.groupBy(bucket_expr(key, nb).alias("_bucket"))
-            .agg(*probe_aggs)
-            .collect()
-        )
+        if (
+            probe_stats is not None
+            and fence
+            and probe_stats.get("nb") == nb
+            and probe_stats.get("key") == key
+            and fence_lsn <= probe_stats["lo"]
+        ):
+            # prefetched plan stats are exactly the probe's rows (the
+            # caller aggregated the same slice with the same bucket
+            # function, and fence ≤ lo makes the fence filter a no-op on
+            # the slice) — skip the per-merge probe job
+            stats = probe_stats["rows"]
+        else:
+            probe_aggs = [F.count("*").alias("n"), F.max(seq_col).alias("mx")]
+            if has_ts:
+                probe_aggs.append(F.max(ts_col).alias("mts"))
+            stats = (
+                raw.groupBy(bucket_expr(key, nb).alias("_bucket"))
+                .agg(*probe_aggs)
+                .collect()
+            )
         phase_t["probe_sec"] = round(_time.time() - _t0, 3)
         _t0 = _time.time()
         touched = {int(r["_bucket"]): (int(r["n"]), int(r["mx"])) for r in stats}
