@@ -537,23 +537,31 @@ def simhash_chunk_pairs(
         )
     x = chunks.alias("x")
     y = chunks.alias("y")
-    cand = (
+    ham = F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim")))
+    # hamming is a pure function of the joined pair, so the ≤ max_hamming
+    # verify commutes with the cross-chunk pair dedup — applying it BEFORE
+    # the distinct means the dedup exchange shuffles only NEAR pairs (the
+    # join's output is dominated by far candidates at expected hamming
+    # ~32 of 64 bits), and deduping the (doc1, doc2, hamming) projection
+    # drops the two 8-byte sims from the shuffled row as well. Same rows
+    # out: filter-then-distinct == distinct-then-filter for a
+    # deterministic per-row predicate, and (doc1, doc2) determines
+    # hamming.
+    return (
         x.join(
             y,
             (F.col("x.chunk_idx") == F.col("y.chunk_idx"))
             & (F.col("x.chunk") == F.col("y.chunk"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .where(ham <= max_hamming)
         .select(
             F.col("x.doc_id").alias("doc1"),
             F.col("y.doc_id").alias("doc2"),
-            F.col("x.sim").alias("s1"),
-            F.col("y.sim").alias("s2"),
+            ham.alias("hamming"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-    return cand.select("doc1", "doc2", ham.alias("hamming")).where(ham <= max_hamming)
 
 
 def near_dup_clusters(
